@@ -1,0 +1,159 @@
+"""Uniqueness / primary-key constraint as a distributed aggregation.
+
+Reference semantics (``ValidatedJSONSchema.java:373-392``): documents are
+processed in directory-walk order; each key string is probed against a
+per-schema hash map. A hit raises "Duplicate PK in <first-file> and
+<this-file>" (``SchemaDuplicatedPrimaryKeyException.java:26``) and the
+colliding document's keys are NOT recorded (first-writer-wins, lines 386-391)
+— so later FK probes still succeed against the *first* holder's key.
+
+Spark shape: stamp a deterministic total-order column ``ord`` (never rely on
+partition order — SURVEY §2.6), explode key strings, and resolve
+first-writer-wins with one ``row_number``/``first`` window per key. This is a
+single hash shuffle on the key string; near-unique keys (e.g. ``url`` at web
+scale) are naturally balanced, and AQE handles residual skew.
+
+Exactness: when no key member fans out over arrays (``has_array_fanout`` is
+False — one key per row, the 100 TB web-pages path), the single-pass plan
+reproduces the sequential reference exactly. With multi-valued members a
+collision removes ALL keys of the colliding doc from the registry, which can
+transitively un-collide later docs; we reproduce that with a bounded
+alternating fixpoint (``cascade_rounds``) that converges in (chain depth)
+rounds — each round is one extra shuffle, so it only runs when fan-out exists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.keys import has_array_fanout, key_strings
+
+
+@dataclass(frozen=True)
+class UniquenessResult:
+    violations: DataFrame  # source, ord, schema_id, check_id, key_str, reason, description
+    pk: DataFrame  # schema_id, check_id, key_str, first_source — the recorded registry
+
+
+def _doc_keys(
+    df: DataFrame,
+    check_id: str,
+    members: list[str],
+    source_col: str,
+    ord_col: str,
+) -> DataFrame:
+    """(source, ord, key_str) — one row per generated key; docs with no key
+    (empty member value list, ValidatedJSONSchema.java:108-114) produce no rows."""
+    return df.select(
+        F.col(source_col).alias("source"),
+        F.col(ord_col).cast("long").alias("ord"),
+        F.explode(key_strings(members)).alias("key_str"),
+    )
+
+
+def uniqueness_check(
+    df: DataFrame,
+    check_id: str,
+    members: list[str],
+    schema_id: str,
+    source_col: str = "source",
+    ord_col: str = "ord",
+    cascade_rounds: int = 6,
+) -> UniquenessResult:
+    """Evaluate one uniqueness/PK constraint.
+
+    Returns duplicate-key violations plus the recorded PK registry (keys of
+    non-colliding docs) for downstream FK probing (``Validator.java:156-163``).
+    """
+    keys = _doc_keys(df, check_id, members, source_col, ord_col)
+
+    multi_key = has_array_fanout(members)
+    if not multi_key:
+        colliding, pk_keys = _resolve_single_pass(keys)
+    else:
+        colliding, pk_keys = _resolve_cascade(keys, cascade_rounds)
+
+    violations = colliding.select(
+        "source",
+        "ord",
+        F.lit(schema_id).alias("schema_id"),
+        F.lit(check_id).alias("check_id"),
+        "key_str",
+        F.lit("dup_pk").alias("reason"),
+        F.format_string(
+            "Duplicate PK in %s and %s", F.col("first_source"), F.col("source")
+        ).alias("description"),
+    )
+    pk = pk_keys.select(
+        F.lit(schema_id).alias("schema_id"),
+        F.lit(check_id).alias("check_id"),
+        "key_str",
+        F.col("source").alias("first_source"),
+    )
+    return UniquenessResult(violations=violations, pk=pk)
+
+
+def _resolve_single_pass(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact when each doc contributes ≤1 key. One shuffle on key_str."""
+    w = Window.partitionBy("key_str").orderBy("ord", "source")
+    ranked = keys.select(
+        "source",
+        "ord",
+        "key_str",
+        F.row_number().over(w).alias("_rn"),
+        F.first("source").over(w).alias("first_source"),
+    )
+    colliding = ranked.where(F.col("_rn") > 1).drop("_rn")
+    pk_keys = ranked.where(F.col("_rn") == 1).select("source", "ord", "key_str")
+    return colliding, pk_keys
+
+
+def _resolve_cascade(
+    keys: DataFrame, max_rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """Alternating fixpoint for multi-key docs (array fan-out).
+
+    colliding(d) ⟺ ∃k∈keys(d) recorded by an earlier non-colliding doc.
+    Start optimistic (everyone recorded), alternate until the colliding-doc
+    set is stable. Chain depths beyond ``max_rounds`` are vanishingly rare;
+    we stop at the cap (conservative over-report, documented deviation).
+    """
+    keys = keys.cache()
+    # doc id = (source, ord); ord is the total order
+    active = keys  # keys of docs currently assumed recorded
+    colliding_docs = None
+    prev_count = -1
+    for _ in range(max_rounds):
+        w = Window.partitionBy("key_str").orderBy("ord", "source")
+        ranked = active.select(
+            "source", "ord", "key_str", F.first("source").over(w).alias("first_source")
+        )
+        # a doc collides if any of its keys has an earlier recorded holder
+        firsts = ranked.groupBy("key_str").agg(
+            F.min(F.struct("ord", "source")).alias("_first")
+        )
+        probe = keys.join(firsts, "key_str", "inner").where(
+            F.struct("ord", "source") > F.col("_first")
+        )
+        colliding_docs = probe.select("source", "ord").distinct().cache()
+        n = colliding_docs.count()
+        if n == prev_count:
+            break
+        prev_count = n
+        active = keys.join(colliding_docs, ["source", "ord"], "left_anti")
+
+    # final pass with the converged registry for blame attribution
+    registry = keys.join(colliding_docs, ["source", "ord"], "left_anti")
+    firsts = registry.groupBy("key_str").agg(
+        F.min(F.struct("ord", "source")).alias("_first")
+    )
+    colliding = (
+        keys.join(colliding_docs, ["source", "ord"], "left_semi")
+        .join(firsts, "key_str", "inner")
+        .where(F.struct("ord", "source") > F.col("_first"))
+        .select("source", "ord", "key_str", F.col("_first.source").alias("first_source"))
+    )
+    return colliding, registry
