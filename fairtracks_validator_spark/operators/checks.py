@@ -1,0 +1,455 @@
+"""Row-level constraint checks compiled to vectorized Column expressions.
+
+Reference: every JSON-Schema keyword is dispatched per-document through the
+everit library (``ValidatedJSONSchema.java:329,370``); custom formats plug in
+via ``ContextualFormatValidator`` (``extensions/CurieFormat.java:66``,
+``extensions/TermFormat.java:70``). Here each keyword becomes one boolean
+``Column`` over the whole corpus — JVM-side, whole-stage-codegen eligible, no
+per-row Python (north rule).
+
+Two check kinds:
+
+- :class:`Check` — pure expression (ok Column + message Column). Built once at
+  plan-compile time; constants (enum lists, regex patterns, CURIE namespace
+  patterns from the registry snapshot) are folded into the expression.
+- :class:`JoinCheck` — needs a dimension join (ontology ``format: term``
+  checks, ``extensions/TermFormat.java:91-112``). Applied as a broadcast
+  left join that adds a boolean flag column; the flag then feeds the same
+  violation machinery.
+
+Semantics notes (validated against the reference source):
+
+- JSON-Schema ``pattern`` uses *find* semantics (unanchored) — Spark ``rlike``
+  matches that. CURIE registry patterns use ``Matcher.matches()`` (anchored,
+  ``extensions/Curie.java:25-33``) — we wrap them ``^(?:...)$``.
+- Keywords other than ``required`` do not apply to absent values: an empty
+  jPath value list passes (``F.forall`` over an empty array is true).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.keys import jpath_values
+
+
+@dataclass(frozen=True)
+class Check:
+    check_id: str
+    ok: Column
+    message: Column
+
+
+@dataclass(frozen=True)
+class JoinCheck:
+    """A check that requires joining a dimension table.
+
+    ``apply(df, flag)`` returns ``df`` with boolean column ``flag`` (true=ok);
+    ``message`` builds the violation text from the original row.
+    """
+
+    check_id: str
+    apply: Callable[[DataFrame, str], DataFrame] = field(repr=False)
+    message: Column = field(repr=False, default=None)
+
+
+def _vals(jpath: str) -> Column:
+    return jpath_values(jpath)
+
+
+def _forall(jpath: str, pred: Callable[[Column], Column]) -> Column:
+    """All values at jpath satisfy pred; absent ⇒ ok (keyword not applicable)."""
+    return F.forall(_vals(jpath), pred)
+
+
+def _first_bad(jpath: str, pred: Callable[[Column], Column]) -> Column:
+    bad = F.filter(_vals(jpath), lambda v: ~F.coalesce(pred(v), F.lit(False)))
+    return F.try_element_at(bad, F.lit(1))
+
+
+# ---------------------------------------------------------------- P2 required
+def required_check(jpath: str) -> Check:
+    return Check(
+        check_id=f"required:{jpath}",
+        ok=F.size(_vals(jpath)) > 0,
+        message=F.lit(f"required key [{jpath.split('.')[-1]}] not found"),
+    )
+
+
+# ---------------------------------------------------------------- P1 type
+_SPARK_TYPE = {
+    "string": "string",
+    "number": "double",
+    "integer": "long",
+    "boolean": "boolean",
+}
+
+
+def type_check(jpath: str, json_type: str) -> Check:
+    """Dynamic type probe for string-encoded values (typed columns enforce
+    types at parse — ``from_json`` nulls mismatches, SURVEY P1)."""
+    t = _SPARK_TYPE.get(json_type)
+    if t is None:  # object/array handled structurally by the encoding
+        return Check(f"type:{jpath}", F.lit(True), F.lit(""))
+
+    def pred(v: Column) -> Column:
+        casted = v.try_cast(t)
+        if json_type == "integer":
+            # "2.5" try_casts to null for long — good; "2" ok
+            return casted.isNotNull()
+        return casted.isNotNull()
+
+    return Check(
+        check_id=f"type:{jpath}",
+        ok=_forall(jpath, pred),
+        message=F.format_string(
+            f"expected type: {json_type}, found incompatible value %s",
+            _first_bad(jpath, pred),
+        ),
+    )
+
+
+# ---------------------------------------------------------------- P3 const
+def const_check(jpath: str, value) -> Check:
+    sval = _json_scalar_str(value)
+    pred = lambda v: v == F.lit(sval)  # noqa: E731
+    return Check(
+        check_id=f"const:{jpath}",
+        ok=_forall(jpath, pred),
+        message=F.format_string(f"expected const {value!r}, found %s", _first_bad(jpath, pred)),
+    )
+
+
+# ---------------------------------------------------------------- P5 enum
+def enum_check(jpath: str, values: list) -> Check:
+    svals = [_json_scalar_str(v) for v in values]
+    pred = lambda v: v.isin(svals)  # noqa: E731
+    return Check(
+        check_id=f"enum:{jpath}",
+        ok=_forall(jpath, pred),
+        message=F.format_string(f"%s is not a valid enum value of {svals}", _first_bad(jpath, pred)),
+    )
+
+
+def _json_scalar_str(value) -> str:
+    # key components & comparisons are stringly typed (ValidableDoc.java:161)
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+# ---------------------------------------------------------------- P4 pattern
+def pattern_check(jpath: str, pattern: str) -> Check:
+    """JSON-Schema ``pattern``: unanchored find semantics (everit/Java both)."""
+    pred = lambda v: v.rlike(pattern)  # noqa: E731
+    return Check(
+        check_id=f"pattern:{jpath}",
+        ok=_forall(jpath, pred),
+        message=F.format_string(
+            f"string %s does not match pattern {pattern}", _first_bad(jpath, pred)
+        ),
+    )
+
+
+# ------------------------------------------------- P7 ranges / lengths
+def minimum_check(jpath: str, lo, exclusive: bool = False) -> Check:
+    pred = (lambda v: v.cast("double") > F.lit(float(lo))) if exclusive else (
+        lambda v: v.cast("double") >= F.lit(float(lo))
+    )
+    return Check(
+        f"minimum:{jpath}", _forall(jpath, pred),
+        F.format_string(f"%s is below the minimum {lo}", _first_bad(jpath, pred)),
+    )
+
+
+def maximum_check(jpath: str, hi, exclusive: bool = False) -> Check:
+    pred = (lambda v: v.cast("double") < F.lit(float(hi))) if exclusive else (
+        lambda v: v.cast("double") <= F.lit(float(hi))
+    )
+    return Check(
+        f"maximum:{jpath}", _forall(jpath, pred),
+        F.format_string(f"%s is above the maximum {hi}", _first_bad(jpath, pred)),
+    )
+
+
+def min_length_check(jpath: str, n: int) -> Check:
+    pred = lambda v: F.length(v) >= n  # noqa: E731
+    return Check(
+        f"minLength:{jpath}", _forall(jpath, pred),
+        F.format_string(f"%s is shorter than minLength {n}", _first_bad(jpath, pred)),
+    )
+
+
+def max_length_check(jpath: str, n: int) -> Check:
+    pred = lambda v: F.length(v) <= n  # noqa: E731
+    return Check(
+        f"maxLength:{jpath}", _forall(jpath, pred),
+        F.format_string(f"%s is longer than maxLength {n}", _first_bad(jpath, pred)),
+    )
+
+
+# ---------------------------------------------------------------- P8 format: uri
+# RFC-3986-shaped probe: scheme ":" hier-part, no spaces/illegal chars.
+_URI_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:[^\s<>\"{}|\\^`]*$"
+
+
+def format_uri_check(jpath: str) -> Check:
+    pred = lambda v: v.rlike(_URI_RE)  # noqa: E731
+    return Check(
+        f"format:uri:{jpath}", _forall(jpath, pred),
+        F.format_string("[%s] is not a valid URI", _first_bad(jpath, pred)),
+    )
+
+
+# ------------------------------------------------------------ P9-P11 curie
+# A value "looks like a URI" when it parses: approximate java.net.URI's
+# acceptance with an illegal-char probe (spaces etc. throw URISyntaxException).
+_URI_PARSEABLE = r"^[^\s<>\"{}|\\^`]+$"
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
+
+
+def _scheme(v: Column) -> Column:
+    s = F.regexp_extract(v, _SCHEME_RE, 1)
+    return F.when(s == "", F.lit(None)).otherwise(s)
+
+
+def _anchor(pattern: str) -> str:
+    """Registry patterns are matched with Matcher.matches() — full-match
+    (extensions/Curie.java:25-33); Spark rlike is find, so anchor."""
+    return f"^(?:{pattern})$"
+
+
+def curie_check(
+    jpath: str,
+    match_type: str,
+    namespaces: list[str],
+    registry: dict[str, str],
+) -> Check:
+    """``format: curie`` — exact branch structure of
+    ``extensions/CurieFormat.java:115-205``, folded into one expression.
+
+    ``registry``: namespace → identifiers.org pattern (the MIRIAM snapshot
+    dimension, SURVEY S5 — tiny, folded driver-side into the plan instead of
+    a runtime join).
+    """
+    ns_in_registry = [ns for ns in namespaces if ns in registry]
+
+    def per_value(v: Column) -> tuple[Column, Column]:
+        parseable = v.rlike(_URI_PARSEABLE)
+        prefix = _scheme(v)
+        ssp = F.regexp_replace(v, _SCHEME_RE, "")
+
+        # canonical-mode match result for this value (also loose-promoted)
+        if namespaces:
+            ns_ok = prefix.isin(namespaces)
+        else:
+            ns_ok = F.lit(True)  # empty list accepts any registered prefix
+        canon_match = F.lit(False)
+        known_prefix = F.lit(False)
+        for ns, pat in registry.items():
+            hit = prefix == F.lit(ns)
+            known_prefix = known_prefix | hit
+            canon_match = F.when(
+                hit, F.coalesce(ssp.rlike(_anchor(pat)), F.lit(False))
+                | F.coalesce(v.rlike(_anchor(pat)), F.lit(False)),
+            ).otherwise(canon_match)
+
+        canonical_ok = parseable & prefix.isNotNull() & ns_ok & known_prefix & canon_match
+        canonical_msg = (
+            F.when(~parseable, F.format_string(
+                "Incorrect URI '%s' (only acceptable in loose match type)", v))
+            .when(prefix.isNull(), F.lit(
+                "In 'canonical' mode, the value must be prefixed by the namespace"))
+            .when(~ns_ok, F.format_string(
+                "The namespace %s is not in the list of the accepted ones: "
+                + ", ".join(namespaces), prefix))
+            .when(~known_prefix, F.format_string(
+                "The namespace %s was not found in identifiers.org cache", prefix))
+            .otherwise(F.format_string("Match failed for CURIE %s", v))
+        )
+
+        if match_type == "basic":
+            ok = parseable & prefix.isin(namespaces)
+            msg = F.when(~parseable, F.format_string(
+                "Incorrect URI '%s' (only acceptable in loose match type)", v)
+            ).otherwise(F.format_string(
+                "The namespace %s is not in the list of the accepted ones: "
+                + ", ".join(namespaces), prefix))
+            return ok, msg
+
+        if match_type == "canonical":
+            return canonical_ok, canonical_msg
+
+        # loose: value WITH a scheme auto-promotes to canonical
+        # (CurieFormat.java:127-139)
+        loose_match = F.lit(False)
+        for ns in ns_in_registry:
+            loose_match = loose_match | F.coalesce(
+                v.rlike(_anchor(registry[ns])), F.lit(False)
+            )
+        if not namespaces:
+            loose_ok, loose_msg = F.lit(False), F.lit(
+                "In 'loose' mode, at least one namespace must be declared")
+        elif not ns_in_registry:
+            loose_ok, loose_msg = F.lit(False), F.lit(
+                f"No namespace from '{', '.join(namespaces)}' was found in "
+                "identifiers.org cache")
+        else:
+            loose_ok, loose_msg = loose_match, F.format_string(
+                "Match failed for CURIE %s", v)
+
+        promoted = parseable & prefix.isNotNull()
+        ok = F.when(promoted, canonical_ok).otherwise(loose_ok)
+        msg = F.when(promoted, canonical_msg).otherwise(loose_msg)
+        return ok, msg
+
+    vals = _vals(jpath)
+    ok = F.forall(vals, lambda v: per_value(v)[0])
+    first_bad = F.try_element_at(
+        F.filter(vals, lambda v: ~F.coalesce(per_value(v)[0], F.lit(False))), F.lit(1)
+    )
+    # message for the first offending value
+    msg = F.when(first_bad.isNotNull(), per_value(first_bad)[1]).otherwise(F.lit(""))
+    return Check(check_id=f"format:curie:{jpath}", ok=ok, message=msg)
+
+
+# ------------------------------------------------------------ P12-P15 term
+def term_check(
+    jpath: str,
+    match_type: str,
+    ontologies: list[str],
+    terms: DataFrame,
+    ancestors: DataFrame | None = None,
+    required_ancestors: list[str] | None = None,
+) -> JoinCheck:
+    """``format: term`` — broadcast semi-join against the terms dimension
+    (``extensions/TermFormat.java:91-112``; ancestors via the precomputed
+    ``rdfs:subClassOf*`` closure, lines 264-267).
+
+    matchType: ``exact`` (value == class IRI), ``suffix``
+    (``FILTER strends(str(?iri), value)``), ``label`` (value == rdfs:label).
+    """
+    check_id = f"format:term:{jpath}"
+    flagged_terms = terms.where(F.col("ontology").isin(ontologies))
+    if required_ancestors:
+        if ancestors is None:
+            raise ValueError("ancestors dimension required when 'ancestors' attr set")
+        anc_ok = (
+            ancestors.where(F.col("ontology").isin(ontologies))
+            .where(F.col("ancestor_iri").isin(required_ancestors))
+            .select("iri")
+            .distinct()
+        )
+        flagged_terms = flagged_terms.join(anc_ok, "iri", "left_semi")
+
+    def apply(df: DataFrame, flag: str) -> DataFrame:
+        vals = _vals(jpath)
+        exploded = df.select(
+            F.col("_row_id").alias("_tc_row_id"),
+            F.explode_outer(vals).alias("_term_val"),
+        )
+        t = F.broadcast(flagged_terms)
+        if match_type == "exact":
+            m = exploded.join(
+                t.select(F.col("iri").alias("_term_hit")).distinct(),
+                exploded["_term_val"] == F.col("_term_hit"),
+                "left",
+            )
+        elif match_type == "label":
+            m = exploded.join(
+                t.select(F.col("label").alias("_term_hit")).distinct(),
+                exploded["_term_val"] == F.col("_term_hit"),
+                "left",
+            )
+        elif match_type == "suffix":
+            m = exploded.join(
+                t.select(F.col("iri").alias("_term_hit")),
+                F.col("_term_hit").endswith(exploded["_term_val"]),
+                "left",
+            )
+        else:
+            raise ValueError(f"unknown term matchType {match_type!r}")
+        per_row = m.groupBy("_tc_row_id").agg(
+            F.min(
+                F.when(F.col("_term_val").isNull(), F.lit(True)).otherwise(
+                    F.col("_term_hit").isNotNull()
+                )
+            ).alias(flag)
+        )
+        return df.join(
+            per_row.withColumnRenamed("_tc_row_id", "_row_id"), "_row_id", "left"
+        ).withColumn(flag, F.coalesce(F.col(flag), F.lit(True)))
+
+    msg = F.format_string(
+        f"Term %s not found in ontologies {', '.join(ontologies)}"
+        + (f" under ancestors {', '.join(required_ancestors)}" if required_ancestors else ""),
+        F.try_element_at(_vals(jpath), F.lit(1)),
+    )
+    return JoinCheck(check_id=check_id, apply=apply, message=msg)
+
+
+# -------------------------------------------------- violation materialization
+def apply_checks(
+    df: DataFrame,
+    checks: list[Check],
+    join_checks: list[JoinCheck],
+    schema_id: str,
+    source_col: str = "source",
+    ord_col: str = "ord",
+) -> DataFrame:
+    """Evaluate all checks in ONE projection; return violation rows.
+
+    Violations: (source, ord, schema_id, check_id, key_str=null, reason,
+    description). A single array-of-structs → filter(¬ok) → explode keeps the
+    whole pass inside one whole-stage-codegen span regardless of check count.
+    """
+    work = df.withColumn("_row_id", F.xxhash64(source_col, ord_col))
+    flag_cols: dict[str, str] = {}
+    for i, jc in enumerate(join_checks):
+        flag = f"_jc_ok_{i}"
+        work = jc.apply(work, flag)
+        flag_cols[jc.check_id] = flag
+
+    entries = [
+        F.struct(
+            F.lit(c.check_id).alias("check_id"),
+            F.coalesce(c.ok, F.lit(False)).alias("ok"),
+            F.coalesce(c.message, F.lit("")).alias("message"),
+        )
+        for c in checks
+    ] + [
+        F.struct(
+            F.lit(jc.check_id).alias("check_id"),
+            F.coalesce(F.col(flag_cols[jc.check_id]), F.lit(True)).alias("ok"),
+            F.coalesce(jc.message, F.lit("")).alias("message"),
+        )
+        for jc in join_checks
+    ]
+    if not entries:
+        return df.sparkSession.createDataFrame(
+            [],
+            "source string, ord long, schema_id string, check_id string, "
+            "key_str string, reason string, description string",
+        )
+
+    failed = F.filter(F.array(*entries), lambda e: ~e.getField("ok"))
+    return (
+        work.select(
+            F.col(source_col).alias("source"),
+            F.col(ord_col).cast("long").alias("ord"),
+            F.explode(failed).alias("_f"),
+        )
+        .select(
+            "source",
+            "ord",
+            F.lit(schema_id).alias("schema_id"),
+            F.col("_f.check_id").alias("check_id"),
+            F.lit(None).cast("string").alias("key_str"),
+            F.lit("schema").alias("reason"),
+            F.col("_f.message").alias("description"),
+        )
+    )

@@ -1,0 +1,213 @@
+"""F7 — scalar keyword checks + curie/term formats (FIXTURES.md F7).
+
+The good/bad fairtracks_simple examples differ in exactly two fields
+(reference diff, examples lines 15/37): an invalid ORCID curie and a term IRI
+outside NCIT.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+
+from fairtracks_validator_spark.operators import checks as C
+from fairtracks_validator_spark.plans.schema_compile import Dims, compile_schema
+from fairtracks_validator_spark.runner import validate_corpus
+from fairtracks_validator_spark.sources.dims import (
+    NAMESPACES_SNAPSHOT,
+    ancestors_dim,
+    terms_dim,
+)
+
+from conftest import rows_set
+
+ORCID_OK = "orcid:0000-0002-9103-1077"
+NCIT_OK = "http://purl.obolibrary.org/obo/NCIT_C48660"
+NCIT_BAD = "https://ncim.nci.nih.gov/ncimbrowser/ConceptReport.jsp?code=C1272460"
+
+
+def _schema(dims):
+    return compile_schema(
+        {
+            "$id": "fairtracks_simple/1.0",
+            "type": "object",
+            "required": ["contact_orcid_id"],
+            "properties": {
+                "contact_orcid_id": {
+                    "type": "string",
+                    "format": "curie",
+                    "matchType": "canonical",
+                    "namespace": "orcid",
+                },
+                "disease_url": {
+                    "type": "string",
+                    "format": "term",
+                    "matchType": "exact",
+                    "ontology": "ncit",
+                },
+                "exp_metadata_version": {"type": "string", "pattern": "^v[0-9]+$"},
+            },
+        },
+        dims=dims,
+    )
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    return Dims(
+        namespaces=NAMESPACES_SNAPSHOT,
+        terms=terms_dim(spark),
+        ancestors=ancestors_dim(spark),
+    )
+
+
+F7_SCHEMA_DDL = (
+    "source STRING, ord INT, contact_orcid_id STRING, disease_url STRING, "
+    "exp_metadata_version STRING"
+)
+
+
+def test_f7_good_vs_bad(spark, dims):
+    rows = [
+        ("works", 1, ORCID_OK, NCIT_OK, "v1"),
+        ("fails", 2, "This is not an ORCID", NCIT_BAD, "v1"),
+    ]
+    plan = _schema(dims)
+    res = validate_corpus({"fairtracks_simple/1.0": (plan, spark.createDataFrame(rows, F7_SCHEMA_DDL))})
+    viol = rows_set(res.violations, ["source", "check_id"])
+    assert viol == {
+        ("fails", "format:curie:contact_orcid_id"),
+        ("fails", "format:term:disease_url"),
+    }
+    verdicts = {r["source"]: r["validated"] for r in res.verdicts.collect()}
+    assert verdicts == {"works": True, "fails": False}
+
+
+def test_curie_matchtype_matrix(spark, dims):
+    """CurieFormat.java:127-205 branch matrix."""
+    plan_loose = compile_schema(
+        {"$id": "m/1", "properties": {"v": {"format": "curie", "matchType": "loose",
+                                            "namespace": "orcid"}}}, dims)
+    rows = [
+        ("bare_ok", 1, "0000-0002-9103-1077"),      # loose: bare value matches pattern
+        ("bare_bad", 2, "not-an-orcid"),            # loose: no match
+        ("promoted_ok", 3, ORCID_OK),               # scheme ⇒ promoted to canonical
+        ("promoted_bad", 4, "pubmed:123"),          # promoted; ns not in declared list
+    ]
+    df = spark.createDataFrame(rows, "source STRING, ord INT, v STRING")
+    res = validate_corpus({"m/1": (plan_loose, df)})
+    v = {r["source"]: r["validated"] for r in res.verdicts.collect()}
+    assert v == {"bare_ok": True, "bare_bad": False, "promoted_ok": True, "promoted_bad": False}
+
+
+def test_curie_basic_and_canonical(spark, dims):
+    plan_basic = compile_schema(
+        {"$id": "b/1", "properties": {"v": {"format": "curie", "matchType": "basic",
+                                            "namespace": ["orcid", "pubmed"]}}}, dims)
+    rows = [("ok", 1, "orcid:anything-goes"), ("bad", 2, "doi:10.1000/x")]
+    res = validate_corpus({"b/1": (plan_basic, spark.createDataFrame(
+        rows, "source STRING, ord INT, v STRING"))})
+    v = {r["source"]: r["validated"] for r in res.verdicts.collect()}
+    # basic: prefix-in-list only, no pattern check (CurieFormat.java:142-149)
+    assert v == {"ok": True, "bad": False}
+
+    plan_canon = compile_schema(
+        {"$id": "c/1", "properties": {"v": {"format": "curie", "matchType": "canonical",
+                                            "namespace": "orcid"}}}, dims)
+    rows = [
+        ("no_prefix", 1, "0000-0002-9103-1077"),  # canonical requires prefix
+        ("ok", 2, ORCID_OK),
+        ("bad_suffix", 3, "orcid:12345"),
+    ]
+    res = validate_corpus({"c/1": (plan_canon, spark.createDataFrame(
+        rows, "source STRING, ord INT, v STRING"))})
+    v = {r["source"]: r["validated"] for r in res.verdicts.collect()}
+    assert v == {"no_prefix": False, "ok": True, "bad_suffix": False}
+
+
+def test_term_label_and_ancestors(spark, dims):
+    plan = compile_schema(
+        {"$id": "t/1", "properties": {
+            "lbl": {"format": "term", "matchType": "label", "ontology": "ncit"},
+            "anc": {"format": "term", "matchType": "exact", "ontology": "ncit",
+                    "ancestors": "http://purl.obolibrary.org/obo/NCIT_C18000"},
+        }}, dims)
+    rows = [
+        ("ok", 1, "Grade 2", NCIT_OK),              # label hit; C48660 under C18000
+        ("bad_lbl", 2, "Grade 99", NCIT_OK),        # label miss
+        ("bad_anc", 3, "Grade 1",                    # Neoplasm not under Grading
+         "http://purl.obolibrary.org/obo/NCIT_C3262"),
+    ]
+    res = validate_corpus({"t/1": (plan, spark.createDataFrame(
+        rows, "source STRING, ord INT, lbl STRING, anc STRING"))})
+    viol = rows_set(res.violations, ["source", "check_id"])
+    assert viol == {
+        ("bad_lbl", "format:term:lbl"),
+        ("bad_anc", "format:term:anc"),
+    }
+
+
+def test_term_suffix(spark, dims):
+    plan = compile_schema(
+        {"$id": "s/1", "properties": {
+            "v": {"format": "term", "matchType": "suffix", "ontology": "ncit"}}}, dims)
+    rows = [("ok", 1, "NCIT_C48660"), ("bad", 2, "NCIT_C99999")]
+    res = validate_corpus({"s/1": (plan, spark.createDataFrame(
+        rows, "source STRING, ord INT, v STRING"))})
+    v = {r["source"]: r["validated"] for r in res.verdicts.collect()}
+    assert v == {"ok": True, "bad": False}
+
+
+def test_core_keywords(spark):
+    plan = compile_schema({
+        "$id": "k/1",
+        "required": ["name"],
+        "properties": {
+            "name": {"type": "string", "minLength": 2, "maxLength": 5},
+            "status": {"enum": ["on", "off"]},
+            "version": {"const": "1.0"},
+            "n": {"type": "integer", "minimum": 0, "maximum": 10},
+            "web": {"format": "uri"},
+            "code": {"pattern": "[A-Z]{3}"},
+        },
+    })
+    ddl = ("source STRING, ord INT, name STRING, status STRING, version STRING, "
+           "n INT, web STRING, code STRING")
+    rows = [
+        ("ok", 1, "abc", "on", "1.0", 5, "https://x.org/a", "xxABCyy"),
+        ("bad_req", 2, None, "on", "1.0", 5, "https://x.org", "ABC"),
+        ("bad_enum", 3, "abc", "ON", "1.0", 5, "https://x.org", "ABC"),
+        ("bad_const", 4, "abc", "on", "2.0", 5, "https://x.org", "ABC"),
+        ("bad_range", 5, "abc", "on", "1.0", 11, "https://x.org", "ABC"),
+        ("bad_uri", 6, "abc", "on", "1.0", 5, "not a uri", "ABC"),
+        ("bad_pat", 7, "abc", "on", "1.0", 5, "https://x.org", "abc"),
+        ("bad_len", 8, "toolongname", "on", "1.0", 5, "https://x.org", "ABC"),
+    ]
+    res = validate_corpus({"k/1": (plan, plan_df(rows, ddl))})
+    v = {r["source"]: r["validated"] for r in res.verdicts.collect()}
+    assert v["ok"] is True
+    for s in ["bad_req", "bad_enum", "bad_const", "bad_range", "bad_uri", "bad_pat", "bad_len"]:
+        assert v[s] is False, s
+    checks = rows_set(res.violations, ["source", "check_id"])
+    assert ("bad_req", "required:name") in checks
+    assert ("bad_pat", "pattern:code") in checks
+
+
+def plan_df(rows, ddl):
+    from fairtracks_validator_spark.session import get_spark
+    return get_spark().createDataFrame(rows, ddl)
+
+
+def test_malformed_unique_warns(spark):
+    """unique: 18 / unique: ["a",42,"c"] ignored with a warning
+    (unique_schema_wrong.json:15,20; ValidatedJSONSchema.java:280-291)."""
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        plan = compile_schema({
+            "$id": "w/1",
+            "unique": ["a", 42, "c"],
+            "properties": {"x": {"unique": 18}},
+        })
+    assert plan.uniques == []
+    assert len(w) == 2
