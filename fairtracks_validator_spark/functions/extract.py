@@ -1,0 +1,41 @@
+"""Deterministic html → text extraction (input_hint per-row invariant).
+
+The north rule requires byte-identical extracted text per url versus the
+oracle. The extractor is therefore a single canonical, version-pinned
+transformation with NO environment dependence: strip tags, collapse
+whitespace, trim. Implemented as an Arrow-batched pandas UDF (never a
+row-at-a-time Python UDF): pandas ``.str`` ops are vectorized over the whole
+Arrow batch.
+
+EXTRACTOR_VERSION is part of the contract — bump it and all goldens together.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+EXTRACTOR_VERSION = "1.0.0"
+
+_TAG_RE = r"<[^>]*>"
+_WS_RE = r"\s+"
+
+
+def extract_text_pd(html: pd.Series) -> pd.Series:
+    """Pure pandas kernel (unit-testable without Spark)."""
+    s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = s.str.replace(_WS_RE, " ", regex=True)
+    return s.str.strip()
+
+
+# pandas_udf needs an active SparkSession at creation — build lazily
+_extract_udf = None
+
+
+def extract_text(html_col):
+    """Column expression: extract_text(html) — Arrow-batched pandas UDF."""
+    global _extract_udf
+    if _extract_udf is None:
+        _extract_udf = pandas_udf(extract_text_pd, "string")
+    return _extract_udf(html_col)

@@ -1,0 +1,183 @@
+"""Distribution-drift tests: two-sample Kolmogorov-Smirnov and chi-square.
+
+North-star additions (no reference counterpart). Two implementations of KS:
+
+- :func:`ks_2samp_exact` — the textbook statistic, exact, computed with a
+  groupBy-on-value + one global ordered window over *distinct values only*.
+  Correct at any scale where the number of DISTINCT values fits a single
+  window partition (fine for bounded metrics like text length); the oracle-
+  comparable form.
+- :func:`ks_2samp_quantile` — approximate via ``percentile_approx`` over B
+  quantiles; fully parallel (no global window), the 10^12-row path. Error is
+  bounded by the quantile sketch accuracy.
+
+Chi-square is a pure contingency aggregation — two shuffles (cell counts +
+margins), no UDF, no driver loop. Skewed group keys (Zipfian ``lang``) are
+pre-salted in the cell count: two-stage partial aggregation
+``groupBy(key, salt) → groupBy(key)`` per the north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ks_2samp_exact(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample KS statistic between groups a and b of one table.
+
+    Returns a 1-row DataFrame: (n_a, n_b, ks_stat). ECDFs are evaluated at
+    every distinct observed value; D = max |F_a(v) - F_b(v)|.
+    """
+    s = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("double").alias("v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("in_a"),
+    ).where(F.col("v").isNotNull())
+
+    per_value = s.groupBy("v").agg(
+        F.sum("in_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_value.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = s.agg(
+        F.sum("in_a").alias("n_a"), F.sum(F.lit(1) - F.col("in_a")).alias("n_b")
+    )
+    return cum.crossJoin(F.broadcast(totals)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.round(
+            F.max(F.abs(F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b"))),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+def ks_2samp_quantile(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Approximate KS via B-quantile ECDF comparison — no global window.
+
+    Evaluates both ECDFs at the union of the two groups' B approximate
+    quantiles. Parallelism: percentile_approx is a mergeable sketch (one
+    partial-agg pass), then a broadcast of ≤2B cut points re-aggregates
+    counts. Suitable for 10^12 rows.
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    s = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("double").alias("v"),
+        (F.col(group_col) == group_a).alias("is_a"),
+    ).where(F.col("v").isNotNull())
+    cuts = (
+        s.agg(F.percentile_approx("v", qs, 10000).alias("cut"))
+        .select(F.explode("cut").alias("cut"))
+        .distinct()
+    )
+    joined = s.crossJoin(F.broadcast(cuts))
+    ecdf = joined.groupBy("cut").agg(
+        F.sum(F.when(F.col("is_a") & (F.col("v") <= F.col("cut")), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("is_a") & (F.col("v") <= F.col("cut")), 1).otherwise(0)).alias("cb"),
+    )
+    totals = s.agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+    )
+    return ecdf.crossJoin(F.broadcast(totals)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.round(
+            F.max(F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b"))), 6
+        ).alias("ks_stat"),
+    )
+
+
+def chi_square(
+    df: DataFrame,
+    bucket_col: str,
+    group_col: str,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Pearson chi-square test of independence between bucket and group.
+
+    Returns 1 row: (n, dof, chi2). ``salt_buckets > 0`` pre-aggregates cell
+    counts through a salted two-stage groupBy — use when one bucket value
+    dominates (Zipfian lang/domain keys at web scale, SURVEY §7.3).
+    """
+    base = df.select(
+        F.col(bucket_col).cast("string").alias("b"),
+        F.col(group_col).cast("string").alias("g"),
+    ).where(F.col("b").isNotNull() & F.col("g").isNotNull())
+
+    if salt_buckets > 0:
+        salted = base.withColumn(
+            "_salt", (F.xxhash64(F.monotonically_increasing_id()) % salt_buckets)
+        )
+        cells = (
+            salted.groupBy("b", "g", "_salt").count()
+            .groupBy("b", "g").agg(F.sum("count").alias("o"))
+        )
+    else:
+        cells = base.groupBy("b", "g").agg(F.count(F.lit(1)).alias("o"))
+
+    cells = cells.cache()
+    row_tot = cells.groupBy("b").agg(F.sum("o").alias("row_n"))
+    col_tot = cells.groupBy("g").agg(F.sum("o").alias("col_n"))
+    n = cells.agg(F.sum("o").alias("n"))
+
+    full = (
+        row_tot.crossJoin(col_tot)
+        .join(cells, ["b", "g"], "left")
+        .na.fill({"o": 0})
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("row_n") * F.col("col_n") / F.col("n"))
+    )
+    return full.agg(
+        F.first("n").alias("n"),
+        (
+            (F.countDistinct("b") - F.lit(1)) * (F.countDistinct("g") - F.lit(1))
+        ).cast("long").alias("dof"),
+        F.round(F.sum(F.pow(F.col("o") - F.col("e"), 2) / F.col("e")), 6).alias("chi2"),
+    )
+
+
+def chi_square_vs_reference(
+    observed: DataFrame,
+    reference: DataFrame,
+    bucket_col: str,
+) -> DataFrame:
+    """Goodness-of-fit of observed bucket counts vs a reference distribution.
+
+    ``reference``: (bucket, p) rows with probabilities summing to 1 — a small
+    broadcast dimension (e.g. last month's lang mix).
+    """
+    obs = observed.groupBy(F.col(bucket_col).cast("string").alias("b")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    n = obs.agg(F.sum("o").alias("n"))
+    full = (
+        F.broadcast(reference.select(F.col(bucket_col).cast("string").alias("b"), "p"))
+        .join(obs, "b", "left")
+        .na.fill({"o": 0})
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("p") * F.col("n"))
+    )
+    return full.agg(
+        F.first("n").alias("n"),
+        (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("dof"),
+        F.round(F.sum(F.pow(F.col("o") - F.col("e"), 2) / F.col("e")), 6).alias("chi2"),
+    )

@@ -1,0 +1,122 @@
+"""Column-level statistics — north-star additions (BASELINE.json.north_star).
+
+No reference counterpart (the reference is a per-document validator); these
+are the aggregate checks a 100 TB validation run needs: null-rate, min/max,
+cardinality (exact + HyperLogLog sketch), and threshold verdicts over them.
+
+All implemented as single-pass Spark aggregations: one ``agg`` with N*K
+expressions profiles K columns in one scan + one reduce — map-side partial
+aggregation does the heavy lifting; no shuffle of row data, only of partial
+states. ``approx_count_distinct`` is Spark's HLL++ — mergeable per-partition
+sketches, the only cardinality that is feasible at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(
+    df: DataFrame,
+    columns: list[str],
+    exact_distinct: bool = False,
+    hll_rsd: float = 0.05,
+) -> DataFrame:
+    """One output row per profiled column:
+    (column, n_rows, n_nulls, null_rate, min_str, max_str, n_distinct).
+
+    ``exact_distinct=True`` uses ``count(DISTINCT)`` (oracle-comparable,
+    expensive — one expand per column); False uses HLL++ (the at-scale path).
+    min/max are cast to string so heterogeneous column types stack into one
+    result relation.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+            (
+                F.countDistinct(col) if exact_distinct
+                else F.approx_count_distinct(col, hll_rsd)
+            ).alias(f"{c}__nd"),
+        ]
+    wide = df.agg(*aggs)
+
+    # unpivot the single wide row into one row per column — stack() keeps it
+    # a pure projection (no second scan)
+    parts = []
+    for c in columns:
+        parts.append(
+            f"'{c}', {c}__nulls, {c}__min, {c}__max, {c}__nd"
+        )
+    stacked = wide.select(
+        F.col("n_rows"),
+        F.expr(
+            f"stack({len(columns)}, "
+            + ", ".join(parts)
+            + ") as (column, n_nulls, min_str, max_str, n_distinct)"
+        ),
+    ).select("column", "n_rows", "n_nulls", "min_str", "max_str", "n_distinct")
+    return stacked.withColumn(
+        "null_rate",
+        F.round(F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1)), 6),
+    ).select("column", "n_rows", "n_nulls", "null_rate", "min_str", "max_str", "n_distinct")
+
+
+def null_rate_check(
+    df: DataFrame, column: str, max_null_rate: float, schema_id: str = "stats"
+) -> DataFrame:
+    """Aggregate constraint: violation row iff null-rate exceeds threshold."""
+    agg = df.agg(
+        F.avg(F.col(column).isNull().cast("double")).alias("rate"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.where(F.col("rate") > max_null_rate).select(
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("ord"),
+        F.lit(schema_id).alias("schema_id"),
+        F.lit(f"null_rate:{column}").alias("check_id"),
+        F.lit(None).cast("string").alias("key_str"),
+        F.lit("null_rate").alias("reason"),
+        F.format_string(
+            f"null rate %.6f of column {column} exceeds threshold {max_null_rate}",
+            F.col("rate"),
+        ).alias("description"),
+    )
+
+
+def cardinality_check(
+    df: DataFrame,
+    column: str,
+    expected_unique: bool = True,
+    tolerance: float = 0.05,
+    schema_id: str = "stats",
+) -> DataFrame:
+    """HLL-based near-uniqueness probe: cheap pre-flight before the exact
+    uniqueness shuffle (at 10^12 rows you run THIS first; the exact dup check
+    only on suspicion)."""
+    agg = df.agg(
+        F.approx_count_distinct(column, tolerance / 2).alias("approx_nd"),
+        F.sum(F.col(column).isNotNull().cast("long")).alias("n_non_null"),
+    )
+    cond = (
+        F.col("approx_nd") < F.col("n_non_null") * (1.0 - tolerance)
+        if expected_unique
+        else F.lit(False)
+    )
+    return agg.where(cond).select(
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("ord"),
+        F.lit(schema_id).alias("schema_id"),
+        F.lit(f"cardinality:{column}").alias("check_id"),
+        F.lit(None).cast("string").alias("key_str"),
+        F.lit("cardinality").alias("reason"),
+        F.format_string(
+            f"approx distinct %d of column {column} below %d non-null rows "
+            f"(tolerance {tolerance})",
+            F.col("approx_nd"), F.col("n_non_null"),
+        ).alias("description"),
+    )

@@ -1,0 +1,112 @@
+"""Stats + drift operators vs independently computed (numpy) oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fairtracks_validator_spark.operators.drift import (
+    chi_square,
+    chi_square_vs_reference,
+    ks_2samp_exact,
+    ks_2samp_quantile,
+)
+from fairtracks_validator_spark.operators.stats import (
+    cardinality_check,
+    column_profile,
+    null_rate_check,
+)
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    rows = [(i, float(i % 7), "a" if i % 3 else None, "g1" if i < 60 else "g2")
+            for i in range(100)]
+    return spark.createDataFrame(rows, "id INT, v DOUBLE, s STRING, grp STRING")
+
+
+def test_column_profile(sample):
+    prof = {r["column"]: r for r in column_profile(sample, ["v", "s"], exact_distinct=True).collect()}
+    assert prof["v"]["n_rows"] == 100
+    assert prof["v"]["n_nulls"] == 0
+    assert prof["v"]["min_str"] == "0.0" and prof["v"]["max_str"] == "6.0"
+    assert prof["v"]["n_distinct"] == 7
+    # s is null for i % 3 == 0 → 34 nulls
+    assert prof["s"]["n_nulls"] == 34
+    assert prof["s"]["null_rate"] == pytest.approx(0.34)
+    assert prof["s"]["n_distinct"] == 1
+
+
+def test_null_rate_check(sample):
+    assert null_rate_check(sample, "s", max_null_rate=0.5).count() == 0
+    viol = null_rate_check(sample, "s", max_null_rate=0.1).collect()
+    assert len(viol) == 1 and "0.34" in viol[0]["description"]
+
+
+def test_cardinality_check(spark):
+    uniq = spark.range(1000).withColumnRenamed("id", "k")
+    assert cardinality_check(uniq, "k").count() == 0
+    dup = spark.range(1000).selectExpr("id % 10 as k")
+    assert cardinality_check(dup, "k").count() == 1
+
+
+def _ks_numpy(a, b):
+    # exact two-sample KS statistic, evaluated at all sample points
+    allv = np.sort(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+    return np.max(np.abs(fa - fb))
+
+
+def test_ks_exact_matches_numpy(spark):
+    rng = np.random.RandomState(42)
+    a = rng.normal(0, 1, 500)
+    b = rng.normal(0.5, 1.2, 400)
+    rows = [(float(x), "a") for x in a] + [(float(x), "b") for x in b]
+    df = spark.createDataFrame(rows, "v DOUBLE, grp STRING")
+    got = ks_2samp_exact(df, "v", "grp", "a", "b").collect()[0]
+    assert got["n_a"] == 500 and got["n_b"] == 400
+    assert got["ks_stat"] == pytest.approx(_ks_numpy(a, b), abs=1e-6)
+
+
+def test_ks_quantile_close_to_exact(spark):
+    rng = np.random.RandomState(7)
+    a = rng.normal(0, 1, 2000)
+    b = rng.normal(0.3, 1.0, 2000)
+    rows = [(float(x), "a") for x in a] + [(float(x), "b") for x in b]
+    df = spark.createDataFrame(rows, "v DOUBLE, grp STRING")
+    exact = ks_2samp_exact(df, "v", "grp", "a", "b").collect()[0]["ks_stat"]
+    approx = ks_2samp_quantile(df, "v", "grp", "a", "b", buckets=256).collect()[0]["ks_stat"]
+    assert abs(exact - approx) < 0.02
+
+
+def _chi2_numpy(table):
+    o = np.asarray(table, dtype=float)
+    row = o.sum(1, keepdims=True)
+    col = o.sum(0, keepdims=True)
+    e = row @ col / o.sum()
+    return ((o - e) ** 2 / e).sum()
+
+
+def test_chi_square_matches_numpy(spark):
+    # 2 groups × 3 buckets contingency
+    counts = {("x", "g1"): 30, ("y", "g1"): 10, ("z", "g1"): 20,
+              ("x", "g2"): 15, ("y", "g2"): 25, ("z", "g2"): 10}
+    rows = [(b, g) for (b, g), n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "b STRING, g STRING")
+    got = chi_square(df, "b", "g").collect()[0]
+    expected = _chi2_numpy([[30, 15], [10, 25], [20, 10]])
+    assert got["n"] == 110 and got["dof"] == 2
+    assert got["chi2"] == pytest.approx(expected, abs=1e-4)
+    # salted two-stage path must agree exactly
+    salted = chi_square(df, "b", "g", salt_buckets=8).collect()[0]
+    assert salted["chi2"] == got["chi2"]
+
+
+def test_chi_square_vs_reference(spark):
+    obs = spark.createDataFrame([("en",)] * 70 + [("de",)] * 30, "lang STRING")
+    ref = spark.createDataFrame([("en", 0.5), ("de", 0.5)], "lang STRING, p DOUBLE")
+    got = chi_square_vs_reference(obs, ref, "lang").collect()[0]
+    # chi2 = (70-50)^2/50 + (30-50)^2/50 = 16
+    assert got["chi2"] == pytest.approx(16.0, abs=1e-6)
+    assert got["dof"] == 1
