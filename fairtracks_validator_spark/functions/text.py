@@ -1,0 +1,135 @@
+"""Text analysis for training-data pipelines — pure Column expressions.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting. All JVM-side
+higher-order functions / regex — no Python in the hot path; every op has a
+matching ANSI-SQL oracle form (see ``__spark_entry__.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal deterministic stopword profiles (top function words per language).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was",
+           "for", "on", "with", "as", "at"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "es", "ein",
+           "zu", "den", "mit", "auf", "für", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no",
+           "por", "con", "los", "para", "una"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "du",
+           "que", "pas", "pour", "dans", "sur"],
+}
+
+# BPE-ish token regex: word pieces OR single non-space punctuation.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+PUNCT_RE = r"[^\sA-Za-z0-9_]"
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization; empty array for null/empty input."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.coalesce(c, F.lit("")), r"\s+"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col) -> Column:
+    """Count of BPE-ish regex tokens (word pieces + punctuation marks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(BPE_TOKEN_RE))
+
+
+def stopword_hits(col, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: F.lower(t).isin(sw)))
+
+
+def quality_score(col) -> Column:
+    """Heuristic [0,1] quality score: penalizes very short docs, high
+    punctuation density, and low alpha-token ratio. Deterministic and
+    SQL-expressible (weights are part of the contract)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
+    n_tok = token_count(c)
+    n_char = F.length(c)
+    n_punct = F.regexp_count(c, F.lit(PUNCT_RE))
+    punct_ratio = F.when(n_char > 0, n_punct / n_char).otherwise(F.lit(1.0))
+    alpha_tokens = F.size(F.filter(tokens(c), lambda t: t.rlike("^[A-Za-z]+$")))
+    alpha_ratio = F.when(n_tok > 0, alpha_tokens / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * alpha_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def langid_scores(col) -> list[tuple[str, Column]]:
+    """(lang, stopword-hit-rate) per profiled language."""
+    n = F.greatest(token_count(col), F.lit(1))
+    return [(lang, stopword_hits(col, lang) / n) for lang in STOPWORDS]
+
+
+def langid(col) -> Column:
+    """Predicted language = argmax stopword-hit rate; 'und' (undetermined)
+    when no stopword hits at all. Ties break lexicographically (deterministic,
+    mirrored in the SQL oracle)."""
+    scores = langid_scores(col)
+    # argmax via greatest over (score, inverted-lang) structs: Spark compares
+    # structs lexicographically, so max score wins; ties pick smallest lang.
+    best = None
+    for lang, score in scores:
+        cand = F.struct(score.alias("s"), F.lit(_inv(lang)).alias("il"))
+        best = cand if best is None else F.greatest(best, cand)
+    any_hits = best.getField("s") > 0
+    return F.when(any_hits, _uninv(best.getField("il"))).otherwise(F.lit("und"))
+
+
+def _inv(lang: str) -> str:
+    """Invert bytes so struct-max picks the lexicographically SMALLEST lang
+    on score ties."""
+    return "".join(chr(255 - ord(ch)) for ch in lang)
+
+
+def _uninv(col: Column) -> Column:
+    # invert back: translate over the known alphabet
+    mapping = {_inv(k): k for k in STOPWORDS}
+    out = F.lit(None).cast("string")
+    for inv, orig in mapping.items():
+        out = F.when(col == inv, F.lit(orig)).otherwise(out)
+    return out
+
+
+def doc_fingerprint(col) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed
+    text (≙ the reference's normalized-JSON SHA1 content addressing,
+    ``python_server/libs/ft_validator.py:201``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " "))
+    return F.md5(norm)
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    joined = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(joined)
+
+
+def rolling_fingerprint(col, n: int = 3) -> Column:
+    """Shingle-set fingerprint: lexicographic min of md5(shingle) — a
+    deterministic bottom-1 sketch of the shingle set."""
+    return F.array_min(F.transform(shingles(col, n), lambda s: F.md5(s)))

@@ -1,0 +1,184 @@
+"""Text analysis + dedup + similarity operators over real testdata parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fairtracks_validator_spark.functions.text import (
+    bpe_token_count,
+    doc_fingerprint,
+    langid,
+    quality_score,
+    shingles,
+    token_count,
+)
+from fairtracks_validator_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+from fairtracks_validator_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_all_pairs,
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------ text fns
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("hi, there!",), (None,)], "t STRING")
+    got = df.select(token_count("t").alias("n"), bpe_token_count("t").alias("b")).collect()
+    assert [(r["n"], r["b"]) for r in got] == [(3, 3), (2, 4), (0, 0)]
+
+
+def test_langid(spark):
+    rows = [
+        ("the cat sat on the mat and it was good",),
+        ("der hund ist nicht auf der straße und es war gut",),
+        ("el perro es un animal y no la casa",),
+        ("zzz qqq xxx",),
+    ]
+    got = [r[0] for r in spark.createDataFrame(rows, "t STRING").select(langid("t")).collect()]
+    assert got == ["en", "de", "es", "und"]
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("one two three four five six seven eight nine ten "
+          "eleven twelve thirteen fourteen fifteen sixteen seventeen "
+          "eighteen nineteen twenty",),
+         ("!!! ??? ###",), ("Hello   World",), ("hello world",)], "t STRING")
+    rows = df.select(quality_score("t").alias("q"), doc_fingerprint("t").alias("f")).collect()
+    assert rows[0]["q"] > 0.9
+    assert rows[1]["q"] < 0.3
+    # fingerprint is case/whitespace-normalized: rows 2 and 3 agree
+    assert rows[2]["f"] == rows[3]["f"]
+
+
+def test_shingles(spark):
+    got = spark.createDataFrame([("a b c d",)], "t STRING").select(
+        shingles("t", 3).alias("s")).collect()[0]["s"]
+    assert got == ["a b c", "b c d"]
+
+
+# --------------------------------------------------------------------- dedup
+def test_exact_duplicates(docs):
+    base = docs.select("doc_id", "text")
+    dup = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    got = exact_duplicates(base.unionByName(dup), "doc_id", "text")
+    assert {(r["dup_id"], r["canonical_id"]) for r in got.collect()} == {
+        (100000 + i, i) for i in range(5)
+    }
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    base = docs.select("doc_id", "text").where(F.col("doc_id") < 100)
+    # near-dup: copy docs 1..3 with one word appended
+    near = base.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    cands = minhash_lsh_candidates(base.unionByName(near), "doc_id", "text",
+                                   num_hashes=8, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    for i in range(3):
+        assert (i, 1000 + i) in got
+
+
+def test_ngram_jaccard(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tomorrow"),
+        (3, "completely different text with no overlap whatsoever here now"),
+    ]
+    got = ngram_jaccard_pairs(
+        spark.createDataFrame(rows, "id LONG, text STRING"), "id", "text",
+        n=3, threshold=0.5,
+    ).collect()
+    assert len(got) == 1
+    assert (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
+    assert 0.5 <= got[0]["jaccard"] < 1.0
+
+
+def test_simhash_near_dup(spark):
+    long_a = " ".join(f"w{i}" for i in range(60))
+    long_b = " ".join(f"w{i}" for i in range(59)) + " CHANGED"
+    other = " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_b), (3, other)], "id LONG, text STRING")
+    sh = {r["id"]: r["s"] for r in df.select("id", simhash("text").alias("s")).collect()}
+    assert sh[1] != sh[2]  # not identical
+    got = {(r["id_a"], r["id_b"]) for r in
+           simhash_candidates(df, "id", "text", max_hamming=12).collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_embedding_neardup(emb):
+    base = emb.select("vec_id", "embedding")
+    clone = base.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding")
+    pairs = embedding_neardup_pairs(base.unionByName(clone), "vec_id", "embedding",
+                                    threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(3):
+        assert (i, 9000 + i) in got
+
+
+# ---------------------------------------------------------------- similarity
+def test_cosine_topk_and_ivf_recall(emb):
+    query = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = cosine_topk(emb, "vec_id", "embedding", query, k=10, exclude_id=0)
+    exact_ids = [r["id"] for r in exact.collect()]
+    assert len(exact_ids) == 10
+    # self-similarity sanity: vec 0 scores 1.0 against itself
+    self_hit = cosine_topk(emb, "vec_id", "embedding", query, k=1).collect()[0]
+    assert self_hit["id"] == 0 and self_hit["score"] == pytest.approx(1.0)
+
+    approx = ivf_topk(emb, "vec_id", "embedding", query, k=10,
+                      n_clusters=16, n_probe=8, exclude_id=0)
+    approx_ids = [r["id"] for r in approx.collect()]
+    recall = len(set(exact_ids) & set(approx_ids)) / 10
+    assert recall >= 0.5  # probing half the clusters
+
+
+def test_cosine_topk_all_pairs(emb):
+    small = emb.where(F.col("vec_id") < 30)
+    got = cosine_topk_all_pairs(small, "vec_id", "embedding", k=3)
+    counts = got.groupBy("id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+    assert len(counts) == 30
+
+
+# ---------------------------------------------------------------- multimodal
+def test_multimodal_decode_plumbing(spark):
+    from fairtracks_validator_spark.operators.multimodal import decode_image_batch
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNGfakebytes")), (2, bytearray(b"\xff\xd8jpegfake"))],
+        "id LONG, payload BINARY",
+    )
+    out = decode_image_batch(df, fake_decoder=True).collect()
+    assert {r["id"] for r in out} == {1, 2}
+    r1 = [r for r in out if r["id"] == 1][0]
+    assert r1["n_bytes"] == 13 and len(r1["features"]) == 8
+    assert 16 <= r1["width"] < 1040
+
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_image_batch(df, fake_decoder=False).collect()
