@@ -1,0 +1,98 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a synthetic
+pages-validation throughput probe (the BASELINE.json primary metric:
+validated docs/sec). Scaling-efficiency evidence (local[8] vs local[32]) is
+produced by scripts/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from fairtracks_validator_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "validate_documents",
+    "pk_dup_orders_custkey",
+    "fk_missing_events_user",
+    "profile_orders",
+    "ks_events_value",
+    "ks_quantile_events",
+    "chi_square_events",
+    "events_hourly_window",
+    "exact_dedup_documents",
+    "minhash_lsh_documents",
+    "simhash_documents",
+    "ngram_jaccard_documents",
+    "cosine_topk_embeddings",
+    "langid_documents",
+    "quality_documents",
+]
+
+PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "1000000"))
+
+
+def _pages_throughput(spark) -> tuple[float, float]:
+    """Validated docs/sec over the synthetic pages table (north-star metric)."""
+    from pyspark.sql import functions as F
+
+    from fairtracks_validator_spark.plans.schema_compile import compile_schema
+    from fairtracks_validator_spark.runner import validate_corpus
+    from fairtracks_validator_spark.sources.pages import pages, pages_schema_dict
+
+    df = (
+        pages(spark, PAGES_BENCH_ROWS)
+        .withColumn("source", F.col("url"))
+        .withColumn("ord", F.col("page_id"))
+    )
+    plan = compile_schema(pages_schema_dict())
+    t0 = time.time()
+    res = validate_corpus({"pages/1.0": (plan, df)})
+    n = res.verdicts.count()
+    dt = time.time() - t0
+    return dt, n / dt
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="ftval-bench")
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        times[name] = round(time.time() - t0, 3)
+
+    pages_sec, pages_docs_per_sec = _pages_throughput(spark)
+    times["pages_validation"] = round(pages_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (incl. pages validation of "
+                f"{PAGES_BENCH_ROWS} docs; docs_per_sec="
+                f"{round(pages_docs_per_sec)})",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pages_docs_per_sec": round(pages_docs_per_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,25 @@ def key_strings(member_jpaths: list[str]) -> Column:
     return F.transform(key_tuples(member_jpaths), lambda t: F.to_json(t))
 
 
+def is_flat_members(member_jpaths: list[str]) -> bool:
+    """All members are plain top-level scalar columns — the hot path at web
+    scale (e.g. ``primary_key: [url]``)."""
+    return all("." not in jp and "[" not in jp for jp in member_jpaths)
+
+
+def flat_key_string(member_jpaths: list[str]) -> Column:
+    """Single ``key_str`` for flat scalar members — pure codegen, no
+    higher-order functions. NULL when any member is null (≙ empty member
+    value list ⇒ no key, ``ValidatedJSONSchema.java:108-114``); callers drop
+    null keys. Byte-identical to the general path."""
+    cols = [F.col(jp).cast("string") for jp in member_jpaths]
+    all_present = None
+    for c in cols:
+        cond = c.isNotNull()
+        all_present = cond if all_present is None else (all_present & cond)
+    return F.when(all_present, F.to_json(F.array(*cols)))
+
+
 def has_array_fanout(member_jpaths: list[str]) -> bool:
     """True if any member can yield >1 value per row (``[]`` step present).
 

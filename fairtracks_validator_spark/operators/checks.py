@@ -61,21 +61,43 @@ def _vals(jpath: str) -> Column:
     return jpath_values(jpath)
 
 
+def _is_flat(jpath: str) -> bool:
+    return "." not in jpath and "[" not in jpath
+
+
 def _forall(jpath: str, pred: Callable[[Column], Column]) -> Column:
-    """All values at jpath satisfy pred; absent ⇒ ok (keyword not applicable)."""
+    """All values at jpath satisfy pred; absent ⇒ ok (keyword not applicable).
+
+    Flat scalar columns take a direct null-guarded predicate — whole-stage
+    codegen, no higher-order functions (the hot path at web scale; nested
+    jPaths fall back to the array machinery).
+    """
+    if _is_flat(jpath):
+        c = F.col(jpath).cast("string")
+        return c.isNull() | F.coalesce(pred(c), F.lit(False))
     return F.forall(_vals(jpath), pred)
 
 
 def _first_bad(jpath: str, pred: Callable[[Column], Column]) -> Column:
+    if _is_flat(jpath):
+        c = F.col(jpath).cast("string")
+        return F.when(
+            c.isNotNull() & ~F.coalesce(pred(c), F.lit(False)), c
+        )
     bad = F.filter(_vals(jpath), lambda v: ~F.coalesce(pred(v), F.lit(False)))
     return F.try_element_at(bad, F.lit(1))
 
 
 # ---------------------------------------------------------------- P2 required
 def required_check(jpath: str) -> Check:
+    ok = (
+        F.col(jpath).isNotNull()
+        if _is_flat(jpath)
+        else F.size(_vals(jpath)) > 0
+    )
     return Check(
         check_id=f"required:{jpath}",
-        ok=F.size(_vals(jpath)) > 0,
+        ok=ok,
         message=F.lit(f"required key [{jpath.split('.')[-1]}] not found"),
     )
 

@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles
 
 
+def _let(bound_expr, body):
+    """Poor-man's let-binding for Column expressions.
+
+    ``_let(e, f) ≡ f(e)`` but ``e`` is evaluated ONCE per row: Catalyst's
+    CollapseProject inlines a projected column into every use site, so an
+    expensive expression referenced k times (e.g. a MinHash signature used by
+    4 band keys) is otherwise recomputed k times. Wrapping it as the input of
+    a single-element ``transform`` forces one evaluation; the lambda variable
+    is a cheap bound reference.
+    """
+    return F.element_at(F.transform(F.array(bound_expr), body), 1)
+
+
 # --------------------------------------------------------------------- exact
 def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """(dup_id, canonical_id, content_hash): every row whose content equals an
@@ -49,21 +62,51 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------- minhash
+# Affine-permutation MinHash over a 31-bit prime field: one md5 per shingle
+# (the only string hash), then slot i = min((A[i]*x + B[i]) mod P). With
+# x < P and A,B < P the product stays < 2^62 — identical 64-bit arithmetic in
+# Spark and DuckDB, so signatures are byte-comparable across engines.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_A = [1203077359, 578883387, 1604537285, 1921764127,
+             733050325, 1060751119, 461581875, 1312551349]
+MINHASH_B = [846034181, 1443029717, 339868775, 1850155937,
+             667021519, 1197151421, 531462953, 87510223]
+
+
+def shingle_hashes(content_col, shingle_n: int = 3):
+    """array<long>: md5 of each distinct shingle folded into [0, P)."""
+    return F.transform(
+        shingles(content_col, shingle_n),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_P),
+        ),
+    )
+
+
 def minhash_signature(content_col, num_hashes: int = 8, shingle_n: int = 3):
-    """array<string> MinHash signature: slot i = min(md5(i || '|' || s)).
+    """array<long> MinHash signature (affine permutations, see above).
 
-    Bottom-hash MinHash: md5 restricted to slot-salted inputs is an
-    independent uniform hash per slot; the lexicographic min of hex digests
-    is the min-hash. Row-local (higher-order functions only).
+    Cost per row: |shingles| md5 calls + num_hashes·|shingles| integer ops —
+    ~8x cheaper than per-slot string hashing; all row-local.
     """
-    sh = shingles(content_col, shingle_n)
+    assert num_hashes <= len(MINHASH_A), "extend MINHASH_A/B for more slots"
 
-    def slot(i):
+    def slot(hx, i: int):
         return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
+            F.transform(
+                hx,
+                lambda x: F.pmod(
+                    F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]), F.lit(MINHASH_P)
+                ),
+            )
         )
 
-    return F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), slot)
+    # _let: evaluate the md5 shingle-hash array ONCE, not once per slot
+    return _let(
+        shingle_hashes(content_col, shingle_n),
+        lambda hx: F.array(*[slot(hx, i) for i in range(num_hashes)]),
+    )
 
 
 def minhash_lsh_candidates(
@@ -73,43 +116,122 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, band-collision count).
 
     rows-per-band = num_hashes/bands; pair probability ≈ 1-(1-j^r)^b for
     Jaccard j. Only (band_key, id) rows shuffle — the signature itself never
-    leaves its partition.
+    leaves its partition. Pairs are expanded INSIDE each bucket
+    (groupBy → collect sorted ids → in-place combinations) instead of a
+    self-join: one shuffle, no duplicate signature evaluation. Buckets larger
+    than ``max_bucket_size`` (degenerate content, quadratic blowup) are
+    dropped — not silently: they surface in ``lsh_bucket_stats``.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+
+    def _affine(a: int, b: int):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))
+
+    def sig_of(hx):
+        return F.array(
+            *[
+                F.array_min(F.transform(hx, _affine(MINHASH_A[i], MINHASH_B[i])))
+                for i in range(num_hashes)
+            ]
+        )
+
+    def bands_of(sig):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    # one md5 pass per shingle, one affine pass per slot, one concat per band
+    # — _let prevents CollapseProject from re-inlining each stage k times.
+    bands_expr = _let(
+        shingle_hashes(content_col, shingle_n),
+        lambda hx: _let(sig_of(hx), bands_of),
+    )
+    from ..functions.text import tokens
+
+    banded = (
+        df.where(F.size(tokens(content_col)) >= shingle_n)
+        .select(F.col(id_col).cast("long").alias("id"), F.explode(bands_expr).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    )
+
+    return (
+        _bucket_pairs(banded, ["band", "band_key"], max_bucket_size)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+def _bucket_pairs(
+    keyed: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Expand (bucket → ids) into (id_a < id_b) pairs without a self-join.
+
+    collect_list per bucket, sort, in-place combinations via indexed
+    higher-order transforms. One shuffle on the bucket key; quadratic buckets
+    capped at ``max_bucket_size``.
+    """
+    buckets = (
+        keyed.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame, id_col: str, content_col: str,
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """Bucket-size histogram for the LSH band index — the no-silent-caps
+    companion to ``minhash_lsh_candidates`` (inspect before choosing
+    ``max_bucket_size``)."""
     sig = minhash_signature(content_col, num_hashes, shingle_n)
-    banded = df.select(
-        F.col(id_col).cast("long").alias("id"), sig.alias("sig")
-    ).where(F.size("sig") > 0).select(
+    rows_per_band = num_hashes // bands
+    banded = df.select(F.col(id_col).cast("long").alias("id"), sig.alias("sig")).where(
+        F.size("sig") > 0
+    ).select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        )
-                    ).alias("band_key"),
+                lambda b: F.md5(
+                    F.concat_ws("|", F.slice("sig", b * rows_per_band + 1, rows_per_band))
                 ),
             )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-
-    pairs = (
-        banded.alias("l")
-        .join(banded.alias("r"), ["band", "band_key"])
-        .where(F.col("l.id") < F.col("r.id"))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        ).alias("band_key"),
     )
-    return pairs
+    return (
+        banded.groupBy("band_key").count()
+        .groupBy(F.col("count").alias("bucket_size"))
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("bucket_size")
+    )
 
 
 # ------------------------------------------------------------------- simhash
@@ -160,38 +282,58 @@ def simhash_candidates(
     content_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 15-bit chunks (a pair within
     Hamming distance < bands shares ≥1 unchanged chunk), verify exact
-    Hamming ≤ max_hamming."""
+    Hamming ≤ max_hamming. Bucket-expansion (no self-join): collect
+    (id, sh) structs per chunk, emit pairs in place, verify, dedup."""
     bits_per_band = _SIMHASH_BITS // bands
-    sigs = df.select(
-        F.col(id_col).cast("long").alias("id"), simhash(content_col).alias("sh")
-    )
-    blocked = sigs.select(
-        "id", "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sh"), b * bits_per_band)
-                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                        .alias("chunk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
-    return (
-        blocked.alias("l")
-        .join(blocked.alias("r"), ["band", "chunk"])
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-            hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+
+    def blocks_of(sh):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(sh, b * bits_per_band)
+                    .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                    .alias("chunk"),
+                    sh.alias("sh"),
+                )
+                for b in range(bands)
+            ]
         )
+
+    # _let: one simhash evaluation per row, referenced by all band structs
+    blocked = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(_let(simhash(content_col), blocks_of)).alias("bk"),
+    ).select(
+        F.col("bk.band").alias("band"),
+        F.col("bk.chunk").alias("chunk"),
+        F.struct(F.col("id"), F.col("bk.sh").alias("sh")).alias("id_sh"),
+    )
+    buckets = (
+        blocked.groupBy("band", "chunk")
+        .agg(F.sort_array(F.collect_set("id_sh")).alias("xs"))
+        .where((F.size("xs") >= 2) & (F.size("xs") <= max_bucket_size))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                lambda y: F.struct(
+                    x.getField("id").alias("id_a"),
+                    y.getField("id").alias("id_b"),
+                    hamming64(x.getField("sh"), y.getField("sh")).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -29,7 +29,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.keys import has_array_fanout, key_strings
+from ..functions.keys import (
+    flat_key_string,
+    has_array_fanout,
+    is_flat_members,
+    key_strings,
+)
 
 
 @dataclass(frozen=True)
@@ -46,7 +51,18 @@ def _doc_keys(
     ord_col: str,
 ) -> DataFrame:
     """(source, ord, key_str) — one row per generated key; docs with no key
-    (empty member value list, ValidatedJSONSchema.java:108-114) produce no rows."""
+    (empty member value list, ValidatedJSONSchema.java:108-114) produce no rows.
+
+    Flat scalar members (the web-scale path) skip the Cartesian array
+    machinery entirely: one codegen'd ``to_json(array(...))`` + null filter,
+    no explode, no per-row array allocation.
+    """
+    if is_flat_members(members):
+        return df.select(
+            F.col(source_col).alias("source"),
+            F.col(ord_col).cast("long").alias("ord"),
+            flat_key_string(members).alias("key_str"),
+        ).where(F.col("key_str").isNotNull())
     return df.select(
         F.col(source_col).alias("source"),
         F.col(ord_col).cast("long").alias("ord"),
@@ -97,7 +113,16 @@ def uniqueness_check(
 
 
 def _resolve_single_pass(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Exact when each doc contributes ≤1 key. One shuffle on key_str."""
+    """Exact when each doc contributes ≤1 key. One shuffle on key_str.
+
+    Deliberately NOT persisted: the ranked keys are corpus-sized, and
+    MemoryStore unroll contention makes large-cache materialization
+    anti-scale with executor threads (measured: a persist-free pipeline
+    scales ~2x from N to 4N threads; with the persist it gets *slower*).
+    Consumers that re-read the registry repeatedly (FK probes) persist the
+    small ``pk`` projection instead, and at cluster scale the registry is
+    checkpointed to parquet (checkpoint.py).
+    """
     w = Window.partitionBy("key_str").orderBy("ord", "source")
     ranked = keys.select(
         "source",

@@ -66,9 +66,11 @@ def validate_corpus(
 
     # ---------------- PASS 1: schema checks + uniqueness, per schema ----------
     for schema_id, (plan, df) in corpus.items():
+        # persist: violation rows are output-sized and consumed by 3+ actions
+        # (survivor mask, union, verdict join) — one evaluation, not four.
         schema_viol = apply_checks(
             df, plan.checks, plan.join_checks, schema_id, source_col, ord_col
-        )
+        ).persist()
         p1_failed = schema_viol.select(source_col, "ord").distinct()
         survivors = df.join(
             p1_failed.withColumnRenamed("ord", ord_col) if ord_col != "ord" else p1_failed,
@@ -82,9 +84,11 @@ def validate_corpus(
             res = uniqueness_check(
                 survivors, uq.check_id, uq.members, schema_id, source_col, ord_col
             )
-            pk_df = res.pk.cache()
-            pk_registries[(schema_id, uq.check_id)] = pk_df
-            pk_empty[(schema_id, uq.check_id)] = pk_df.limit(1).count() == 0
+            # no extra cache: uniqueness_check persists its ranked keys, and
+            # the registry is a cheap filter over that. Emptiness (J3) is
+            # evaluated lazily — only when some FK actually targets this
+            # registry — so corpora without FKs never pay the extra job.
+            pk_registries[(schema_id, uq.check_id)] = res.pk
             dup_violations.append(res.violations)
             dup_failed_docs.append(res.violations.select("source", "ord").distinct())
 
@@ -109,7 +113,15 @@ def validate_corpus(
             if fk.target_schema_id not in registered:
                 pk, empty = None, None
             elif key in pk_registries:
-                pk, empty = pk_registries[key], pk_empty[key]
+                pk = pk_registries[key]
+                if key not in pk_empty:
+                    # first FK touching this registry: persist it (it is
+                    # re-read by every probe) and settle emptiness (J3)
+                    pk = pk.persist()
+                    pk_registries[key] = pk
+                    pk_empty[key] = pk.limit(1).count() == 0
+                empty = pk_empty[key]
+                pk = pk_registries[key]
             else:
                 # target schema registered but has no such constraint ⇒ no
                 # recorded documents for it (J3, Validator.java:164-167)
@@ -124,7 +136,12 @@ def validate_corpus(
                 )
             )
 
-    violations = _union_all(all_p1_violations + all_p2_violations, empty_violations)
+    # Persist the unioned violations: they are output-sized (violations ≪
+    # corpus) and every downstream consumer (verdict join, counts, sinks)
+    # would otherwise re-execute the full scan+shuffle pipeline per action.
+    violations = _union_all(
+        all_p1_violations + all_p2_violations, empty_violations
+    ).persist()
 
     # ---------------- verdicts -------------------------------------------------
     verdict_parts = []
