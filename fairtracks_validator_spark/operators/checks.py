@@ -415,6 +415,45 @@ def term_check(
 
 
 # -------------------------------------------------- violation materialization
+def checks_pass_predicate(
+    checks: list[Check], flag_cols: list[str] | None = None
+) -> Column:
+    """Null-safe conjunction of all row-check ok columns (+ join-check flags).
+
+    Pure codegen — used both as the violation pre-filter and as the pass-1
+    survivor mask in the runner (replaces an anti-join + distinct shuffle)."""
+    out = F.lit(True)
+    for c in checks:
+        out = out & F.coalesce(c.ok, F.lit(False))
+    for fc in flag_cols or []:
+        out = out & F.coalesce(F.col(fc), F.lit(True))
+    return out
+
+
+def check_entries(
+    checks: list[Check], join_flags: dict[str, str] | None = None
+) -> list[Column]:
+    """(check_id, ok, message) structs for every check — the raw material of
+    both apply_checks and the fused single-scan runner path."""
+    out = [
+        F.struct(
+            F.lit(c.check_id).alias("check_id"),
+            F.coalesce(c.ok, F.lit(False)).alias("ok"),
+            F.coalesce(c.message, F.lit("")).alias("message"),
+        )
+        for c in checks
+    ]
+    for jc_id, flag in (join_flags or {}).items():
+        out.append(
+            F.struct(
+                F.lit(jc_id).alias("check_id"),
+                F.coalesce(F.col(flag), F.lit(True)).alias("ok"),
+                F.lit("").alias("message"),
+            )
+        )
+    return out
+
+
 def apply_checks(
     df: DataFrame,
     checks: list[Check],
@@ -458,9 +497,14 @@ def apply_checks(
             "key_str string, reason string, description string",
         )
 
+    # Cheap all-ok conjunction FIRST (pure codegen, no arrays): the struct
+    # array with its format_string messages is only built for failing rows —
+    # at web scale that is ~1% of the corpus instead of 100%.
+    all_ok = checks_pass_predicate(checks, [flag_cols[jc.check_id] for jc in join_checks])
     failed = F.filter(F.array(*entries), lambda e: ~e.getField("ok"))
     return (
-        work.select(
+        work.where(~all_ok)
+        .select(
             F.col(source_col).alias("source"),
             F.col(ord_col).cast("long").alias("ord"),
             F.explode(failed).alias("_f"),
