@@ -1,0 +1,78 @@
+"""spark-submit entry point.
+
+Usage (cluster):
+    spark-submit --py-files ftval.zip -m fairtracks_validator_spark.cli ...
+Usage (local):
+    python -m fairtracks_validator_spark.cli validate \
+        --input /data/pages.parquet --schema schemas/pages.json \
+        --out /out/run1 --key-col url --partitions 256 [--max-partitions K]
+
+``validate`` is resumable: re-running with the same --out continues from the
+per-partition lineage checkpoint (CheckpointedValidation). ≙ the reference
+CLI ``fairGTrackJsonValidate <schema-dir> <json>...``
+(``FairGTrackValidatorCli.java:364-385``) with directories replaced by
+tables and exit-code semantics preserved (non-zero when violations exist).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointedValidation
+from .plans.schema_compile import Dims, compile_schema
+from .session import get_spark
+from .sources.dims import NAMESPACES_SNAPSHOT
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="fairtracks_validator_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="resumable table validation run")
+    v.add_argument("--input", required=True, help="parquet path / table")
+    v.add_argument("--schema", required=True, help="JSON-Schema(+extensions) file")
+    v.add_argument("--out", required=True, help="output dir (verdicts/violations/lineage)")
+    v.add_argument("--key-col", default="url")
+    v.add_argument("--ord-col", default=None, help="total-order column (default: key-col hash)")
+    v.add_argument("--partitions", type=int, default=64)
+    v.add_argument("--max-partitions", type=int, default=None,
+                   help="process at most K incomplete partitions this run")
+    v.add_argument("--run-id", default="cli")
+
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name="ftval-cli")
+
+    with open(args.schema) as f:
+        schema = json.load(f)
+    plan = compile_schema(schema, dims=Dims(namespaces=NAMESPACES_SNAPSHOT))
+    for w in plan.warnings:
+        print(f"WARNING: {w}", file=sys.stderr)
+
+    df = spark.read.parquet(args.input)
+    df = df.withColumn("source", F.col(args.key_col).cast("string"))
+    if args.ord_col:
+        df = df.withColumn("ord", F.col(args.ord_col).cast("long"))
+    else:
+        df = df.withColumn("ord", F.xxhash64(args.key_col))
+
+    cv = CheckpointedValidation(out_dir=args.out, n_partitions=args.partitions)
+    summary = cv.run(
+        df, plan, key_col=args.key_col,
+        max_partitions=args.max_partitions, run_id=args.run_id,
+    )
+    print(json.dumps(summary))
+
+    lineage = spark.read.parquet(cv.lineage_dir)
+    totals = lineage.agg(
+        F.sum("rows_scanned").alias("rows"), F.sum("violations").alias("violations")
+    ).collect()[0]
+    print(json.dumps({"rows": totals["rows"], "violations": totals["violations"]}))
+    return 1 if (totals["violations"] or 0) > 0 else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,183 @@
+"""Structured-Streaming incremental validation.
+
+The reference is strictly batch (two passes over a closed corpus,
+``FairGTrackValidatorCli.java:236-359``); its PK registry is incremental
+*within* a run (``ValidatedJSONSchema.java:373-392``) and seedable across
+runs (A4, ``README.md:25-35``). This module generalizes that to an unbounded
+stream: per micro-batch, row checks run vectorized, and uniqueness probes an
+accumulated registry (parquet dir ≙ the reference's in-memory hash map,
+seeded exactly like A4), then appends the batch's first-writer keys.
+
+``foreachBatch`` is the right primitive: uniqueness is a cross-batch global
+constraint, not a windowed aggregate, so the state lives in a (at deployment:
+Iceberg) table rather than in streaming state-store — which also makes it
+inspectable and seedable. Watermarked tumbling-window aggregation is provided
+separately for rate-style monitoring (``windowed_event_counts``).
+
+Idempotency: each batch writes its outputs under ``batch_id=<n>`` directories
+with overwrite, so foreachBatch retries do not double-count; the registry
+append is guarded the same way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.checks import apply_checks, checks_pass_predicate
+from ..operators.uniqueness import _doc_keys
+from ..plans.schema_compile import ValidationPlan
+
+REGISTRY_SCHEMA = "check_id string, key_str string, first_source string, first_ord long"
+
+
+def _registry_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "registry")
+
+
+def _load_registry(spark, out_dir: str, before_batch_id: int) -> DataFrame:
+    """Registry accumulated by batches STRICTLY BEFORE ``before_batch_id`` —
+    a foreachBatch retry must not see its own previous (partial) attempt."""
+    path = _registry_path(out_dir)
+    batches = [
+        os.path.join(path, d)
+        for d in (os.listdir(path) if os.path.isdir(path) else [])
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < before_batch_id
+    ]
+    if not batches:
+        return spark.createDataFrame([], REGISTRY_SCHEMA)
+    return spark.read.parquet(*batches).select(
+        "check_id", "key_str", "first_source", "first_ord"
+    )
+
+
+def process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    plan: ValidationPlan,
+    out_dir: str,
+    source_col: str = "source",
+    ord_col: str = "ord",
+) -> None:
+    """One micro-batch of incremental validation (also callable directly for
+    tests / backfills)."""
+    spark = batch_df.sparkSession
+
+    schema_viol = apply_checks(
+        batch_df, plan.checks, plan.join_checks, plan.schema_id, source_col, ord_col
+    )
+    violations = [schema_viol]
+    new_keys_parts = []
+
+    if plan.uniques:
+        survivors = (
+            batch_df.where(checks_pass_predicate(plan.checks))
+            if not plan.join_checks
+            else batch_df.join(
+                schema_viol.select(source_col, "ord").distinct(),
+                [source_col, ord_col],
+                "left_anti",
+            )
+        )
+        registry = _load_registry(spark, out_dir, batch_id).cache()
+        for uq in plan.uniques:
+            keys = _doc_keys(survivors, uq.check_id, uq.members, source_col, ord_col)
+            reg = registry.where(F.col("check_id") == uq.check_id)
+
+            # intra-batch first-writer resolution
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("key_str").orderBy("ord", "source")
+            ranked = keys.withColumn("_rn", F.row_number().over(w)).withColumn(
+                "_fs", F.first("source").over(w)
+            )
+            intra_dup = ranked.where(F.col("_rn") > 1).select(
+                "source", "ord", "key_str", F.col("_fs").alias("first_source")
+            )
+            firsts = ranked.where(F.col("_rn") == 1).drop("_rn", "_fs")
+            # cross-batch probe against the accumulated registry
+            cross = firsts.join(
+                reg.select("key_str", F.col("first_source").alias("_reg_fs")),
+                "key_str",
+                "left",
+            )
+            cross_dup = cross.where(F.col("_reg_fs").isNotNull()).select(
+                "source", "ord", "key_str", F.col("_reg_fs").alias("first_source")
+            )
+            fresh = cross.where(F.col("_reg_fs").isNull()).select(
+                F.lit(uq.check_id).alias("check_id"),
+                "key_str",
+                F.col("source").alias("first_source"),
+                F.col("ord").alias("first_ord"),
+            )
+            dup = intra_dup.unionByName(cross_dup).select(
+                "source",
+                "ord",
+                F.lit(plan.schema_id).alias("schema_id"),
+                F.lit(uq.check_id).alias("check_id"),
+                "key_str",
+                F.lit("dup_pk").alias("reason"),
+                F.format_string(
+                    "Duplicate PK in %s and %s", F.col("first_source"), F.col("source")
+                ).alias("description"),
+            )
+            violations.append(dup)
+            new_keys_parts.append(fresh)
+
+    out = violations[0]
+    for v in violations[1:]:
+        out = out.unionByName(v)
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "violations", f"batch_id={batch_id}")
+    )
+    if new_keys_parts:
+        nk = new_keys_parts[0]
+        for p in new_keys_parts[1:]:
+            nk = nk.unionByName(p)
+        nk.write.mode("overwrite").parquet(
+            os.path.join(_registry_path(out_dir), f"batch_id={batch_id}")
+        )
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    plan: ValidationPlan,
+    out_dir: str,
+    source_col: str = "source",
+    ord_col: str = "ord",
+    trigger_available_now: bool = True,
+):
+    """Attach incremental validation to a streaming DataFrame.
+
+    Returns the started StreamingQuery. Outputs land under
+    ``out_dir/violations/batch_id=*`` and ``out_dir/registry/batch_id=*``.
+    """
+    writer = stream_df.writeStream.foreachBatch(
+        lambda bdf, bid: process_batch(bdf, bid, plan, out_dir, source_col, ord_col)
+    ).option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming twin of the batch
+    ``events_hourly_window`` query; late rows beyond the watermark drop."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            F.col("n"),
+        )
+    )
