@@ -227,6 +227,27 @@ def format_uri_check(jpath: str) -> Check:
     )
 
 
+# -------------------------------------------------- P6 additionalProperties
+def additional_properties_check(jpath: str, allowed: list[str]) -> Check:
+    """``additionalProperties: false`` for open-object (MapType) encodings.
+
+    Fixed-layout objects are ``StructType`` and closed at parse time (SURVEY
+    P6); this check covers columns kept as ``map<string,...>``. Violation
+    when any undeclared key is present (``unique_schema.json:21``).
+    """
+    m = F.col(jpath)
+    extra = F.map_filter(m, lambda k, v: ~k.isin(allowed))
+    ok = m.isNull() | (F.size(F.map_keys(extra)) == 0)
+    return Check(
+        check_id=f"additionalProperties:{jpath}",
+        ok=ok,
+        message=F.format_string(
+            "extraneous key %s is not permitted",
+            F.try_element_at(F.map_keys(extra), F.lit(1)),
+        ),
+    )
+
+
 # ------------------------------------------------------------ P9-P11 curie
 # A value "looks like a URI" when it parses: approximate java.net.URI's
 # acceptance with an illegal-char probe (spaces etc. throw URISyntaxException).

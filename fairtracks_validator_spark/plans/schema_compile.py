@@ -182,6 +182,14 @@ def _compile_property(plan: ValidationPlan, path: str, sub: dict, dims: Dims):
     if "maxLength" in sub:
         plan.checks.append(C.max_length_check(path, sub["maxLength"]))
 
+    # additionalProperties: false on an open-object (map-encoded) property.
+    # Fixed-layout objects are StructType — closed at parse (SURVEY P6); the
+    # runtime check only applies when the column is kept as a map, which the
+    # schema marks explicitly (encoding is a relational-mapping concern).
+    if sub.get("additionalProperties") is False and sub.get("x-encoding") == "map":
+        allowed = list((sub.get("properties") or {}).keys())
+        plan.checks.append(C.additional_properties_check(path, allowed))
+
     fmt = sub.get("format")
     if fmt == "uri":
         plan.checks.append(C.format_uri_check(path))

@@ -79,18 +79,23 @@ def validate_corpus(
     corpus: dict[str, tuple[ValidationPlan, DataFrame]],
     source_col: str = "source",
     ord_col: str = "ord",
+    seed_registries: dict[tuple[str, str], DataFrame] | None = None,
 ) -> ValidationResult:
     """Validate a multi-schema corpus: ``{schema_id: (plan, df)}``.
 
     Each df must carry ``source_col`` (identity) and ``ord_col`` (deterministic
     total order ≙ directory-walk order — SURVEY §2.6).
+
+    ``seed_registries``: pre-populated PK sets keyed by (schema_id, check_id)
+    (A4, root README.md:25-35 — ``sources.catalog.seed_pk_registry``), unioned
+    into the corpus-derived registries before FK probing.
     """
     spark = next(iter(corpus.values()))[1].sparkSession
     empty_violations = spark.createDataFrame([], VIOLATION_SCHEMA)
 
     # web-scale fast path: single schema, pure-Column checks, at most one
     # flat-member uniqueness constraint, no FKs ⇒ ONE scan + ONE shuffle
-    if len(corpus) == 1:
+    if len(corpus) == 1 and not seed_registries:
         schema_id, (plan, df) = next(iter(corpus.items()))
         if (
             not plan.join_checks
@@ -136,7 +141,11 @@ def validate_corpus(
             # the registry is a cheap filter over that. Emptiness (J3) is
             # evaluated lazily — only when some FK actually targets this
             # registry — so corpora without FKs never pay the extra job.
-            pk_registries[(schema_id, uq.check_id)] = res.pk
+            pk = res.pk
+            seed = (seed_registries or {}).get((schema_id, uq.check_id))
+            if seed is not None:
+                pk = pk.unionByName(seed)  # SO2: seed ∪ corpus keys
+            pk_registries[(schema_id, uq.check_id)] = pk
             dup_violations.append(res.violations)
             dup_failed_docs.append(res.violations.select("source", "ord").distinct())
 
@@ -151,9 +160,15 @@ def validate_corpus(
             masked = masked.join(rd, [source_col, ord_col], "left_anti")
         pass2_docs[schema_id] = masked
 
+    # seeds for registries with no corpus-side constraint (A4: the target
+    # schema may have zero documents but externally provided keys)
+    for skey, seed in (seed_registries or {}).items():
+        if skey not in pk_registries:
+            pk_registries[skey] = seed
+
     # ---------------- PASS 2: FK probes against completed registries ----------
     all_p2_violations: list[DataFrame] = []
-    registered = set(corpus.keys())
+    registered = set(corpus.keys()) | {s for (s, _) in (seed_registries or {})}
     for schema_id, (plan, _) in corpus.items():
         docs = pass2_docs[schema_id]
         for fk in plan.fks:
