@@ -98,8 +98,13 @@ def key_tuples(member_jpaths: list[str]) -> Column:
 
     Mirrors ``GenKeyStrings`` (``ValidatedJSONSchema.java:102-132``): any
     member with zero values collapses the product to zero tuples (lines
-    108-114) — rows with an absent key component generate no key.
+    108-114) — rows with an absent key component generate no key — and an
+    EMPTY member list generates no keys at all (numPKcols==0 branch, lines
+    104-106; exercised by fairtracks_simple's ``"primary_key": []``).
     """
+    if not member_jpaths:
+        return F.array().cast("array<array<string>>")
+
     def _extend(vals):
         def outer(t):
             def inner(x):
@@ -136,6 +141,9 @@ def flat_key_string(member_jpaths: list[str]) -> Column:
     higher-order functions. NULL when any member is null (≙ empty member
     value list ⇒ no key, ``ValidatedJSONSchema.java:108-114``); callers drop
     null keys. Byte-identical to the general path."""
+    if not member_jpaths:
+        # numPKcols==0 ⇒ no key at all (ValidatedJSONSchema.java:104-106)
+        return F.lit(None).cast("string")
     cols = [F.col(jp).cast("string") for jp in member_jpaths]
     all_present = None
     for c in cols:
