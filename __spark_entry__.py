@@ -228,6 +228,49 @@ FROM c, t GROUP BY na, nb
 """
 
 
+def q_ks_per_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KS via applyInPandas (grouped pandas UDAF, SURVEY §2.10):
+    text-length drift per lang between even/odd doc halves."""
+    from fairtracks_validator_spark.operators.drift import ks_per_group_pandas
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("double").alias("v"),
+        F.when(F.col("doc_id") % 2 == 0, "h0").otherwise("h1").alias("half"),
+    )
+    return ks_per_group_pandas(docs, "v", "lang", "half").orderBy("lang")
+
+
+_KS_PER_LANG_SQL = """
+WITH s AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) v,
+         CASE WHEN doc_id % 2 = 0 THEN 'h0' ELSE 'h1' END h
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+pv AS (
+  SELECT lang, v,
+         SUM(CASE WHEN h = 'h0' THEN 1 ELSE 0 END) ca,
+         SUM(CASE WHEN h = 'h1' THEN 1 ELSE 0 END) cb
+  FROM s GROUP BY lang, v
+),
+c AS (
+  SELECT lang,
+         SUM(ca) OVER (PARTITION BY lang ORDER BY v) cum_a,
+         SUM(cb) OVER (PARTITION BY lang ORDER BY v) cum_b
+  FROM pv
+),
+t AS (
+  SELECT lang,
+         SUM(CASE WHEN h = 'h0' THEN 1 ELSE 0 END) na,
+         SUM(CASE WHEN h = 'h1' THEN 1 ELSE 0 END) nb
+  FROM s GROUP BY lang
+)
+SELECT t.lang AS lang, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       ROUND(MAX(ABS(cum_a * 1.0 / na - cum_b * 1.0 / nb)), 6) AS ks_stat
+FROM c JOIN t USING (lang) GROUP BY t.lang, na, nb ORDER BY lang
+"""
+
+
 def q_chi_square_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn(
         "grp", (F.col("user_id") % 2).cast("string")
@@ -591,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": q_hll_cardinality,
         "ks_events_value": q_ks_events_value,
         "ks_quantile_events": q_ks_quantile_events,
+        "ks_per_lang_documents": q_ks_per_lang_documents,
         "chi_square_events": q_chi_square_events,
         "events_hourly_window": q_events_hourly_window,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -617,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         # hll_cardinality / ks_quantile_events / ivf_ann_embeddings:
         # sketch-based or approximate-by-design → rows-only checks
         "ks_events_value": _KS_EVENTS_SQL,
+        "ks_per_lang_documents": _KS_PER_LANG_SQL,
         "chi_square_events": _CHI_SQUARE_EVENTS_SQL,
         "events_hourly_window": _EVENTS_HOURLY_SQL,
         "exact_dedup_documents": _EXACT_DEDUP_SQL,

@@ -346,17 +346,31 @@ def ngram_jaccard_pairs(
     content_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard ≥ threshold pairs via inverted-index join.
 
     |A∩B| from the shared-shingle join; |A∪B| = |A|+|B|-|A∩B|. Size-ratio
     prune: J ≥ t ⇒ |A|/|B| ∈ [t, 1/t], applied before the expensive count.
     At web scale, run AFTER minhash_lsh_candidates as the verifier.
+
+    ``max_shingle_freq``: optional stop-shingle cap — shingles occurring in
+    more than this many docs are dropped from the index (they explode the
+    pair space quadratically but carry ~no discriminative signal). This makes
+    the Jaccard *approximate from below* for pairs dominated by promiscuous
+    shingles; leave None for the exact (oracle-matched) semantics.
     """
     sh = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(shingles(content_col, n)).alias("shingle"),
     )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(
+            F.broadcast(freq.where(F.col("f") > max_shingle_freq).select("shingle")),
+            "shingle",
+            "left_anti",
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("l").join(sh.alias("r"), "shingle")

@@ -106,6 +106,50 @@ def ks_2samp_quantile(
     )
 
 
+def ks_per_group_pandas(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    split_col: str,
+) -> DataFrame:
+    """Per-group two-sample KS via ``applyInPandas`` — the grouped-pandas-UDF
+    (UDAF) surface from SURVEY §2.10: one KS test per ``group_col`` value
+    comparing the two halves of ``split_col`` (e.g. text-length drift per
+    lang between two crawl snapshots). Arrow-batched; each group's samples
+    must fit one executor — use the quantile variant for monster groups.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{group_col} string, n_a long, n_b long, ks_stat double"
+
+    def ks(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[group_col].iloc[0]
+        halves = pdf[split_col].unique()
+        if len(halves) < 2:
+            return pd.DataFrame(
+                {group_col: [g], "n_a": [len(pdf)], "n_b": [0], "ks_stat": [None]}
+            )
+        ha, hb = sorted(halves)[:2]
+        a = np.sort(pdf.loc[pdf[split_col] == ha, value_col].dropna().to_numpy())
+        b = np.sort(pdf.loc[pdf[split_col] == hb, value_col].dropna().to_numpy())
+        allv = np.concatenate([a, b])
+        fa = np.searchsorted(a, allv, side="right") / max(len(a), 1)
+        fb = np.searchsorted(b, allv, side="right") / max(len(b), 1)
+        stat = float(np.max(np.abs(fa - fb))) if len(a) and len(b) else None
+        return pd.DataFrame(
+            {group_col: [g], "n_a": [len(a)], "n_b": [len(b)],
+             "ks_stat": [round(stat, 6) if stat is not None else None]}
+        )
+
+    src = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(value_col).cast("double").alias(value_col),
+        F.col(split_col).cast("string").alias(split_col),
+    )
+    return src.groupBy(group_col).applyInPandas(ks, out_schema)
+
+
 def chi_square(
     df: DataFrame,
     bucket_col: str,

@@ -66,6 +66,32 @@ def column_profile(
     ).select("column", "n_rows", "n_nulls", "null_rate", "min_str", "max_str", "n_distinct")
 
 
+def hll_partition_sketches(
+    df: DataFrame, column: str, partition_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Mergeable per-partition HLL sketches: (partition, sketch bytes, estimate).
+
+    The 10^12-row cardinality workflow: each partition/shard persists its
+    sketch in the lineage table; any subset's cardinality is one
+    ``hll_union_agg`` away — no rescan. (Datasketches HLL via Spark's
+    ``hll_sketch_agg``.)
+    """
+    return df.groupBy(partition_col).agg(
+        F.hll_sketch_agg(column, F.lit(lg_k)).alias("sketch")
+    ).select(
+        partition_col,
+        "sketch",
+        F.hll_sketch_estimate("sketch").alias("estimate"),
+    )
+
+
+def hll_merge_estimate(sketches: DataFrame, sketch_col: str = "sketch") -> DataFrame:
+    """Union previously persisted sketches → one global estimate row."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("estimate")
+    )
+
+
 def null_rate_check(
     df: DataFrame, column: str, max_null_rate: float, schema_id: str = "stats"
 ) -> DataFrame:

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from fairtracks_validator_spark.operators.drift import (
     chi_square,
@@ -110,3 +111,32 @@ def test_chi_square_vs_reference(spark):
     # chi2 = (70-50)^2/50 + (30-50)^2/50 = 16
     assert got["chi2"] == pytest.approx(16.0, abs=1e-6)
     assert got["dof"] == 1
+
+
+def test_hll_partition_sketches_merge(spark):
+    from fairtracks_validator_spark.operators.stats import (
+        hll_merge_estimate,
+        hll_partition_sketches,
+    )
+
+    df = spark.range(20000).withColumn("part", (F.col("id") % 8).cast("int"))
+    sk = hll_partition_sketches(df, "id", "part")
+    assert sk.count() == 8
+    est = hll_merge_estimate(sk).collect()[0]["estimate"]
+    assert abs(est - 20000) / 20000 < 0.05
+
+
+def test_ks_per_group_pandas(spark):
+    from fairtracks_validator_spark.operators.drift import ks_per_group_pandas
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for lang, shift in [("en", 0.0), ("de", 1.0)]:
+        for half, extra in [("h1", 0.0), ("h2", shift)]:
+            for x in rng.normal(extra, 1, 300):
+                rows.append((lang, half, float(x)))
+    df = spark.createDataFrame(rows, "lang STRING, half STRING, v DOUBLE")
+    got = {r["lang"]: r for r in ks_per_group_pandas(df, "v", "lang", "half").collect()}
+    assert got["en"]["n_a"] == 300 and got["en"]["n_b"] == 300
+    assert got["en"]["ks_stat"] < 0.15      # same distribution
+    assert got["de"]["ks_stat"] > 0.3       # shifted distribution
