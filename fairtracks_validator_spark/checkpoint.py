@@ -91,6 +91,7 @@ class CheckpointedValidation:
         ord_col: str = "ord",
         max_partitions: int | None = None,
         run_id: str = "run",
+        extra_registries: dict[tuple[str, str], DataFrame] | None = None,
     ) -> dict:
         """Validate ``df``; process at most ``max_partitions`` incomplete
         partitions (None = all). Returns a summary dict. Call again to resume.
@@ -147,6 +148,28 @@ class CheckpointedValidation:
             violations = violations.unionByName(
                 _dup_violations_vs_registry(survivors, plan, reg, source_col, ord_col)
             )
+
+        # FK probes against frozen external registries (dimension tables or
+        # other tables' checkpointed registries) — partition-local, resumable
+        if plan.fks:
+            from .operators.fk import fk_check
+
+            extra = extra_registries or {}
+            masked = subset.join(
+                violations.select(
+                    F.col("source").alias(source_col), F.col("ord").alias(ord_col)
+                ).distinct(),
+                [source_col, ord_col],
+                "left_anti",
+            )
+            for fk in plan.fks:
+                pk = extra.get((fk.target_schema_id, fk.target_check_id))
+                violations = violations.unionByName(
+                    fk_check(
+                        masked, fk.check_id, fk.members, plan.schema_id,
+                        fk.target_schema_id, pk, source_col, ord_col,
+                    )
+                )
 
         failed = violations.select("source", "ord").distinct().withColumn("_f", F.lit(True))
         verdicts = (

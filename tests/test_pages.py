@@ -130,3 +130,35 @@ def test_checkpoint_resume_equals_fresh(spark, pages_df, ckpt_dir, tmp_path):
     lin = spark.read.parquet(f"{ckpt_dir}/lineage")
     assert lin.count() == 16
     assert lin.agg(F.sum("rows_scanned")).collect()[0][0] == N
+
+
+def test_checkpoint_with_fk_registry(spark, tmp_path):
+    """FK probes against a frozen external registry inside the checkpointed
+    runner (dimension-style referential check, resumable)."""
+    from fairtracks_validator_spark.plans.schema_compile import compile_schema
+
+    schema = {
+        "$id": "pages_fk/1.0",
+        "primary_key": ["url"],
+        "properties": {"url": {"type": "string"}},
+        "foreign_keys": [{"schema_id": "dim_langs/1.0", "members": ["lang"]}],
+    }
+    plan = compile_schema(schema)
+    df = pages(spark, 500).withColumn("source", F.col("url")).withColumn(
+        "ord", F.col("page_id"))
+    lang_reg = spark.createDataFrame(
+        [("dim_langs/1.0", "pk", f'["{c}"]', "dim") for c in
+         ["en", "de", "es", "fr", "it", "pt", "nl", "pl"]],
+        "schema_id string, check_id string, key_str string, first_source string",
+    )
+    cv = CheckpointedValidation(out_dir=str(tmp_path / "fkckpt"), n_partitions=8)
+    cv.run(df, plan, key_col="url", max_partitions=3, run_id="a",
+           extra_registries={("dim_langs/1.0", "pk"): lang_reg})
+    cv.run(df, plan, key_col="url", run_id="b",
+           extra_registries={("dim_langs/1.0", "pk"): lang_reg})
+    viol = spark.read.parquet(f"{tmp_path}/fkckpt/violations")
+    by_reason = {r["reason"]: r["count"] for r in viol.groupBy("reason").count().collect()}
+    # the planted bad langs ('xx') miss the dim registry
+    assert by_reason.get("fk_missing", 0) > 0
+    n_bad_lang = df.where("lang = 'xx'").count()
+    assert by_reason["fk_missing"] == n_bad_lang
