@@ -198,12 +198,21 @@ class CheckpointedValidation:
         viol_out.write.mode("overwrite").partitionBy("part_id").parquet(self.violations_dir)
 
         # ---- lineage append (only after data committed)
+        # stats come from READING BACK the just-committed parquet (output-
+        # sized), not from re-running the validation DAG a second time —
+        # one validation execution per partition batch.
         wall = time.time() - t0
+        done_verdicts = spark.read.parquet(self.verdicts_dir).where(
+            F.col("part_id").isin(todo)
+        )
+        done_viol = spark.read.parquet(self.violations_dir).where(
+            F.col("part_id").isin(todo)
+        )
         stats = (
-            verdicts.groupBy("part_id")
+            done_verdicts.groupBy("part_id")
             .agg(F.count(F.lit(1)).alias("rows_scanned"))
             .join(
-                viol_out.groupBy("part_id").agg(F.count(F.lit(1)).alias("violations")),
+                done_viol.groupBy("part_id").agg(F.count(F.lit(1)).alias("violations")),
                 "part_id", "left",
             )
             .na.fill({"violations": 0})
@@ -246,10 +255,17 @@ def _dup_violations_vs_registry(
         keys = _doc_keys(subset, uq.check_id, uq.members, source_col, ord_col)
         reg = registry.where(
             (F.col("schema_id") == plan.schema_id) & (F.col("check_id") == uq.check_id)
-        ).select("key_str", "first_source")
+        ).select("key_str", "first_source", "first_ord")
+        # a duplicate is any holder that is NOT the registry's first holder —
+        # compared on the FULL identity (source, ord), not source alone:
+        # with source==url duplicates share their source value by construction
+        # (the reference flags same-file dups too, ValidatedJSONSchema.java:378-383)
         v = (
             keys.join(reg, "key_str", "inner")
-            .where(F.col("source") != F.col("first_source"))
+            .where(
+                (F.col("ord") != F.col("first_ord"))
+                | (F.col("source") != F.col("first_source"))
+            )
             .select(
                 "source", "ord",
                 F.lit(plan.schema_id).alias("schema_id"),

@@ -361,6 +361,90 @@ def curie_check(
 
 
 # ------------------------------------------------------------ P12-P15 term
+# Dimensions at or below these row counts are folded driver-side into pure
+# Column expressions (like the CURIE registry) — zero shuffles, zero joins.
+# Vendored ontology snapshots are always far below these; a full live
+# ontology would take the broadcast-join path instead.
+TERM_FOLD_MAX = 100_000
+TERM_FOLD_MAX_SUFFIX = 10_000
+
+
+def _term_candidate_values(
+    match_type: str,
+    ontologies: list[str],
+    terms: DataFrame,
+    ancestors: DataFrame | None,
+    required_ancestors: list[str] | None,
+) -> DataFrame:
+    """Distinct dimension values a document value must hit (IRIs, or labels
+    for matchType=label), after the ontology + ancestors-closure filters
+    (``extensions/TermFormat.java:91-112, 264-267``)."""
+    flagged = terms.where(F.col("ontology").isin(ontologies))
+    if required_ancestors:
+        if ancestors is None:
+            raise ValueError("ancestors dimension required when 'ancestors' attr set")
+        anc_ok = (
+            ancestors.where(F.col("ontology").isin(ontologies))
+            .where(F.col("ancestor_iri").isin(required_ancestors))
+            .select("iri")
+            .distinct()
+        )
+        flagged = flagged.join(anc_ok, "iri", "left_semi")
+    col = "label" if match_type == "label" else "iri"
+    return flagged.select(F.col(col).alias("v")).where(F.col("v").isNotNull()).distinct()
+
+
+def fold_term_check(
+    jpath: str,
+    match_type: str,
+    ontologies: list[str],
+    terms: DataFrame,
+    ancestors: DataFrame | None = None,
+    required_ancestors: list[str] | None = None,
+) -> Check | None:
+    """``format: term`` folded to a pure expression when the filtered dim fits
+    the driver — the shuffle-free twin of :func:`term_check` (same folding the
+    CURIE registry gets). Returns None when the dim exceeds the fold cap (the
+    caller falls back to the broadcast-join form).
+
+    exact/label ⇒ ``isin`` over the collected value set (hash-set probe in
+    codegen); suffix ⇒ ``exists(iris, i -> endswith(i, v))``, gated by the
+    smaller cap because it is O(|dim|) per value.
+    """
+    cap = TERM_FOLD_MAX_SUFFIX if match_type == "suffix" else TERM_FOLD_MAX
+    if match_type not in ("exact", "label", "suffix"):
+        raise ValueError(f"unknown term matchType {match_type!r}")
+    cand = _term_candidate_values(
+        match_type, ontologies, terms, ancestors, required_ancestors
+    )
+    rows = cand.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    values = sorted(r["v"] for r in rows)
+
+    if not values:
+        pred = lambda v: F.lit(False)  # noqa: E731
+    elif match_type == "suffix":
+        lit_vals = F.lit(values)
+        pred = lambda v: F.exists(lit_vals, lambda i: i.endswith(v))  # noqa: E731
+    else:
+        pred = lambda v: v.isin(values)  # noqa: E731
+
+    return Check(
+        check_id=f"format:term:{jpath}",
+        ok=_forall(jpath, pred),
+        message=F.format_string(
+            f"Term %s not found in ontologies {', '.join(ontologies)}"
+            + (
+                f" under ancestors {', '.join(required_ancestors)}"
+                if required_ancestors
+                else ""
+            ),
+            _first_bad(jpath, pred),
+        ),
+    )
+
+
 def term_check(
     jpath: str,
     match_type: str,
@@ -489,7 +573,13 @@ def apply_checks(
     description). A single array-of-structs → filter(¬ok) → explode keeps the
     whole pass inside one whole-stage-codegen span regardless of check count.
     """
-    work = df.withColumn("_row_id", F.xxhash64(source_col, ord_col))
+    # composite row identity for join-check round-trips: the FULL (source,
+    # ord) struct, never a 64-bit hash — at 10^12 rows xxhash64 birthday
+    # collisions would cross-contaminate flags between distinct documents.
+    work = df.withColumn(
+        "_row_id",
+        F.struct(F.col(source_col).alias("s"), F.col(ord_col).cast("long").alias("o")),
+    )
     flag_cols: dict[str, str] = {}
     for i, jc in enumerate(join_checks):
         flag = f"_jc_ok_{i}"

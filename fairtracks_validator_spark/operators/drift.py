@@ -8,8 +8,10 @@ North-star additions (no reference counterpart). Two implementations of KS:
   window partition (fine for bounded metrics like text length); the oracle-
   comparable form.
 - :func:`ks_2samp_quantile` — approximate via ``percentile_approx`` over B
-  quantiles; fully parallel (no global window), the 10^12-row path. Error is
-  bounded by the quantile sketch accuracy.
+  quantiles; the 10^12-row path. One sketch pass, one O(log B) per-row bucket
+  assignment, one bucket aggregation: no row multiplication, no corpus-sized
+  window (the only window runs over ≤B+1 bucket rows). Error is bounded by
+  the quantile sketch accuracy + 1/B.
 
 Chi-square is a pure contingency aggregation — two shuffles (cell counts +
 margins), no UDF, no driver loop. Skewed group keys (Zipfian ``lang``) are
@@ -63,6 +65,36 @@ def ks_2samp_exact(
     )
 
 
+def _count_lt(cuts: list[float], v) -> "F.Column":
+    """#cuts strictly below ``v`` by an UNROLLED branchless binary search over
+    the sorted literal cut array: ~log2(B) ``element_at`` probes per row, each
+    level's running index bound ONCE via ``_let`` (Catalyst has no common-
+    subexpression elimination, so a naive ``when`` chain would double the
+    expression tree per level).
+    """
+    from .dedup import _let
+
+    m = len(cuts)
+    arr = F.lit(cuts)
+
+    def _advance(step: int):
+        def body(lo):
+            cand = lo + F.lit(step)
+            ok = (cand <= F.lit(m)) & (F.element_at(arr, cand.cast("int")) < v)
+            return F.when(ok, cand).otherwise(lo)
+
+        return body
+
+    step = 1
+    while step * 2 <= m:
+        step *= 2
+    expr = F.lit(0).cast("long")
+    while step >= 1:
+        expr = _let(expr, _advance(step))
+        step //= 2
+    return expr
+
+
 def ks_2samp_quantile(
     df: DataFrame,
     value_col: str,
@@ -71,37 +103,54 @@ def ks_2samp_quantile(
     group_b,
     buckets: int = 1024,
 ) -> DataFrame:
-    """Approximate KS via B-quantile ECDF comparison — no global window.
+    """Approximate KS via B-quantile ECDF comparison — the 10^12-row path.
 
-    Evaluates both ECDFs at the union of the two groups' B approximate
-    quantiles. Parallelism: percentile_approx is a mergeable sketch (one
-    partial-agg pass), then a broadcast of ≤2B cut points re-aggregates
-    counts. Suitable for 10^12 rows.
+    1. One mergeable-sketch pass (``percentile_approx``) produces ≤B-1 sorted
+       cut points, collected to the driver (bounded by B, never by N).
+    2. Each row is assigned its bucket = #cuts < v by an O(log B) unrolled
+       binary search over the broadcast literal cuts — NO row multiplication
+       (the previous form crossJoined every row with every cut: O(N·B)).
+    3. ``groupBy(bucket)`` (map-side partial agg; ≤B+1 result rows), then a
+       cumulative window over those ≤B+1 rows: cum(b) = #rows with v ≤
+       cut_{b+1}, so D = max_b |cum_a(b)/n_a − cum_b(b)/n_b|.
+
+    Error is bounded by the quantile-sketch accuracy + 1/B.
     """
     qs = [i / buckets for i in range(1, buckets)]
     s = df.where(F.col(group_col).isin([group_a, group_b])).select(
         F.col(value_col).cast("double").alias("v"),
         (F.col(group_col) == group_a).alias("is_a"),
     ).where(F.col("v").isNotNull())
-    cuts = (
-        s.agg(F.percentile_approx("v", qs, 10000).alias("cut"))
-        .select(F.explode("cut").alias("cut"))
-        .distinct()
+
+    row = s.agg(F.percentile_approx("v", qs, 10000).alias("cut")).first()
+    cuts = sorted(set(row["cut"] or []))
+    if not cuts:
+        return s.agg(
+            F.sum(F.col("is_a").cast("long")).alias("n_a"),
+            F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+            F.lit(None).cast("double").alias("ks_stat"),
+        )
+
+    counts = (
+        s.select(_count_lt(cuts, F.col("v")).alias("b"), "is_a")
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("is_a").cast("long")).alias("ca"),
+            F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+        )
     )
-    joined = s.crossJoin(F.broadcast(cuts))
-    ecdf = joined.groupBy("cut").agg(
-        F.sum(F.when(F.col("is_a") & (F.col("v") <= F.col("cut")), 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(~F.col("is_a") & (F.col("v") <= F.col("cut")), 1).otherwise(0)).alias("cb"),
+    # the window relation is ≤ B+1 rows — bounded by the bucket count, not N
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
     )
-    totals = s.agg(
-        F.sum(F.col("is_a").cast("long")).alias("n_a"),
-        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
-    )
-    return ecdf.crossJoin(F.broadcast(totals)).agg(
+    totals = counts.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    return cum.crossJoin(F.broadcast(totals)).agg(
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
         F.round(
-            F.max(F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b"))), 6
+            F.max(F.abs(F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b"))),
+            6,
         ).alias("ks_stat"),
     )
 

@@ -15,11 +15,14 @@ Null/absent tuples are skipped — ``fkStrings`` empty ⇒ no check at all
 (``Validator.java:145-163``).
 
 Spark shape: the hash-map probe IS a hash join — we run
-``fk_keys LEFT ANTI JOIN pk_keys ON key_str``. The PK side is the distinct
-recorded registry (small relative to the corpus at web scale: one row per
-unique key of the *dimension* schema), so we hint ``broadcast`` by default and
-let Catalyst fall back to sort-merge + AQE skew handling when it exceeds the
-threshold.
+``fk_keys LEFT ANTI JOIN pk_keys ON key_str``. The broadcast decision is
+size-gated: an explicit ``F.broadcast()`` hint overrides
+``autoBroadcastJoinThreshold`` unconditionally, so hinting a registry of
+unknown size would force-broadcast billions of keys and OOM the driver.
+Callers that KNOW the registry is small (the runner counts it once while
+settling J3 emptiness) pass ``broadcast_pk=True``; the default (``None``)
+adds no hint and lets AQE pick broadcast at runtime from the registry's
+actual shuffle-map size.
 """
 
 from __future__ import annotations
@@ -55,7 +58,7 @@ def fk_check(
     pk: DataFrame | None,
     source_col: str = "source",
     ord_col: str = "ord",
-    broadcast_pk: bool = True,
+    broadcast_pk: bool | None = None,
     pk_known_empty: bool | None = None,
 ) -> DataFrame:
     """Violations for one FK declaration.
@@ -67,6 +70,9 @@ def fk_check(
     ``pk_known_empty``: pass the precomputed emptiness verdict (J3,
     ``Validator.java:164-167``) to avoid re-counting; None ⇒ computed here
     (triggers the upstream job — cache ``pk`` first).
+
+    ``broadcast_pk``: True ⇒ hint broadcast (caller verified the registry is
+    small); False/None ⇒ no hint, AQE decides from runtime size.
     """
     probes = fk_keys(df, members, source_col, ord_col)
 

@@ -108,6 +108,11 @@ def uniqueness_check(
         F.lit(check_id).alias("check_id"),
         "key_str",
         F.col("source").alias("first_source"),
+        # the first holder's full identity (source, ord): required so a
+        # checkpointed registry can flag duplicates that SHARE the first
+        # holder's source value (e.g. url-keyed corpora where source==url,
+        # ValidatedJSONSchema.java:378-383 flags same-file duplicates too)
+        F.col("ord").cast("long").alias("first_ord"),
     )
     return UniquenessResult(violations=violations, pk=pk)
 

@@ -56,6 +56,13 @@ class Dims:
     namespaces: dict[str, str] = field(default_factory=dict)
     terms: DataFrame | None = None
     ancestors: DataFrame | None = None
+    # MIRIAM ids (``MIR:00000008``) → namespace: the reference resolves CURIE
+    # registry lookups by namespace OR id (``CurieCache.java:108-115,397-424``),
+    # so a schema may declare its namespace by MIR id.
+    namespace_ids: dict[str, str] = field(default_factory=dict)
+    # collect small term dims at compile time into pure expressions (zero
+    # shuffles); False forces the broadcast-join path for every term check.
+    fold_term_dims: bool = True
 
 
 @dataclass
@@ -194,12 +201,19 @@ def _compile_property(plan: ValidationPlan, path: str, sub: dict, dims: Dims):
     if fmt == "uri":
         plan.checks.append(C.format_uri_check(path))
     elif fmt == "curie":
+        # registry keyed by namespace AND by MIR id — CurieCache.get matches
+        # either (``CurieCache.java:108-115``), so declarations like
+        # ``namespace: "MIR:00000008"`` resolve to the same pattern.
+        registry = dict(dims.namespaces)
+        for mid, ns in (dims.namespace_ids or {}).items():
+            if ns in dims.namespaces:
+                registry.setdefault(mid, dims.namespaces[ns])
         plan.checks.append(
             C.curie_check(
                 path,
                 match_type=sub.get("matchType", "loose"),
                 namespaces=_as_list(sub.get("namespace", [])),
-                registry=dims.namespaces,
+                registry=registry,
             )
         )
     elif fmt == "term":
@@ -209,16 +223,23 @@ def _compile_property(plan: ValidationPlan, path: str, sub: dict, dims: Dims):
         elif dims.terms is None:
             _warn(plan, f"format 'term' at {path}: no terms dimension loaded")
         else:
-            plan.join_checks.append(
-                C.term_check(
-                    path,
-                    match_type=sub.get("matchType", "exact"),
-                    ontologies=onts,
-                    terms=dims.terms,
-                    ancestors=dims.ancestors,
-                    required_ancestors=_as_list(sub.get("ancestors", [])) or None,
-                )
+            kwargs = dict(
+                match_type=sub.get("matchType", "exact"),
+                ontologies=onts,
+                terms=dims.terms,
+                ancestors=dims.ancestors,
+                required_ancestors=_as_list(sub.get("ancestors", [])) or None,
             )
+            # fold the dim into a pure expression when it fits the driver
+            # (zero extra shuffles — vendored snapshots always fold); fall
+            # back to the broadcast-join form for live-sized ontologies
+            folded = (
+                C.fold_term_check(path, **kwargs) if dims.fold_term_dims else None
+            )
+            if folded is not None:
+                plan.checks.append(folded)
+            else:
+                plan.join_checks.append(C.term_check(path, **kwargs))
 
     # per-property unique: true (README.md:11-13; python impl supports many)
     uq = sub.get("unique")

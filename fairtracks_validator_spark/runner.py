@@ -39,6 +39,11 @@ VIOLATION_SCHEMA = (
     "key_str string, reason string, description string"
 )
 
+# registries at or below this many distinct keys get an explicit broadcast
+# hint in FK probes (≈ a few hundred MB of key strings); larger ones rely on
+# AQE's runtime broadcast/sort-merge selection.
+BROADCAST_MAX_PK_KEYS = 5_000_000
+
 
 @dataclass
 class ValidationResult:
@@ -123,13 +128,12 @@ def validate_corpus(
             # pass-1 mask as a pure predicate — no anti-join, no shuffle
             survivors = df.where(checks_pass_predicate(plan.checks))
         else:
-            p1_failed = schema_viol.select(source_col, "ord").distinct()
-            survivors = df.join(
-                p1_failed.withColumnRenamed("ord", ord_col)
-                if ord_col != "ord" else p1_failed,
-                [source_col, ord_col],
-                "left_anti",
-            )
+            # violation rows are always aliased ("source", "ord") — rename
+            # BOTH back to the caller's column names before the anti-join
+            p1_failed = schema_viol.select(
+                F.col("source").alias(source_col), F.col("ord").alias(ord_col)
+            ).distinct()
+            survivors = df.join(p1_failed, [source_col, ord_col], "left_anti")
 
         dup_violations: list[DataFrame] = [schema_viol]
         dup_failed_docs: list[DataFrame] = []
@@ -174,27 +178,32 @@ def validate_corpus(
         for fk in plan.fks:
             key = (fk.target_schema_id, fk.target_check_id)
             if fk.target_schema_id not in registered:
-                pk, empty = None, None
+                pk, empty, bcast = None, None, None
             elif key in pk_registries:
                 pk = pk_registries[key]
                 if key not in pk_empty:
                     # first FK touching this registry: persist it (it is
-                    # re-read by every probe) and settle emptiness (J3)
+                    # re-read by every probe), settle emptiness (J3), and
+                    # size-gate the broadcast hint — a huge registry must go
+                    # through sort-merge/AQE, never a forced broadcast.
                     pk = pk.persist()
                     pk_registries[key] = pk
-                    pk_empty[key] = pk.limit(1).count() == 0
-                empty = pk_empty[key]
+                    n = pk.count()
+                    pk_empty[key] = (n == 0, n <= BROADCAST_MAX_PK_KEYS)
+                empty, bcast = pk_empty[key]
                 pk = pk_registries[key]
             else:
                 # target schema registered but has no such constraint ⇒ no
                 # recorded documents for it (J3, Validator.java:164-167)
-                pk, empty = spark.createDataFrame(
-                    [], "schema_id string, check_id string, key_str string, first_source string"
-                ), True
+                pk, empty, bcast = spark.createDataFrame(
+                    [], "schema_id string, check_id string, key_str string, "
+                        "first_source string, first_ord long"
+                ), True, None
             all_p2_violations.append(
                 fk_check(
                     docs, fk.check_id, fk.members, schema_id,
                     fk.target_schema_id, pk, source_col, ord_col,
+                    broadcast_pk=bcast,
                     pk_known_empty=empty,
                 )
             )
@@ -329,6 +338,7 @@ def _validate_fused(
         F.lit(uq.check_id).alias("check_id"),
         F.col("_key").alias("key_str"),
         F.col("source").alias("first_source"),
+        F.col("ord").cast("long").alias("first_ord"),
     )
     return ValidationResult(
         verdicts=verdicts, violations=violations,

@@ -169,6 +169,8 @@ def seed_pk_registry(
             F.lit(check_id).alias("check_id"),
             F.to_json(F.array(F.col("v"))).alias("key_str"),
             F.lit(f"seed:{path}").alias("first_source"),
+            # seeds precede every corpus doc in the total order
+            F.lit(-1).cast("long").alias("first_ord"),
         )
         .distinct()
     )

@@ -37,6 +37,15 @@ def namespaces_dim(spark: SparkSession, snapshot: dict[str, str] | None = None) 
     return spark.createDataFrame(rows, "id string, namespace string, name string, pattern string")
 
 
+def namespace_mir_ids(snapshot: dict[str, str] | None = None) -> dict[str, str]:
+    """MIR id → namespace for the snapshot (same ids ``namespaces_dim``
+    stamps). The reference's CURIE cache resolves lookups by namespace OR id
+    (``CurieCache.java:108-115``); feed this to ``Dims.namespace_ids`` so
+    schemas may declare ``namespace: "MIR:00000000"``."""
+    snap = snapshot or NAMESPACES_SNAPSHOT
+    return {f"MIR:{i:08d}": ns for i, ns in enumerate(snap)}
+
+
 # Toy 5-node NCIT-flavoured hierarchy (FIXTURES.md F7): enough to exercise
 # matchType exact/label/suffix and the ancestors closure.
 _TERM_ROWS = [

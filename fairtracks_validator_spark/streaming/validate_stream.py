@@ -76,7 +76,9 @@ def process_batch(
             batch_df.where(checks_pass_predicate(plan.checks))
             if not plan.join_checks
             else batch_df.join(
-                schema_viol.select(source_col, "ord").distinct(),
+                schema_viol.select(
+                    F.col("source").alias(source_col), F.col("ord").alias(ord_col)
+                ).distinct(),
                 [source_col, ord_col],
                 "left_anti",
             )

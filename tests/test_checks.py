@@ -159,6 +159,101 @@ def test_term_suffix(spark, dims):
     assert v == {"ok": True, "bad": False}
 
 
+def test_term_join_path_matches_folded(spark, dims):
+    """The broadcast-join form (big-dim fallback) must agree with the folded
+    form on every matchType; fold is forced off via Dims.fold_term_dims."""
+    from dataclasses import replace
+
+    join_dims = replace(dims, fold_term_dims=False)
+    schema = {"$id": "t2/1", "properties": {
+        "ex": {"format": "term", "matchType": "exact", "ontology": "ncit"},
+        "lbl": {"format": "term", "matchType": "label", "ontology": "ncit"},
+        "sfx": {"format": "term", "matchType": "suffix", "ontology": "ncit"},
+    }}
+    rows = [
+        ("r1", 1, NCIT_OK, "Grade 2", "NCIT_C48660"),
+        ("r2", 2, NCIT_BAD, "Grade 99", "NCIT_C99999"),
+        ("r3", 3, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "source STRING, ord INT, ex STRING, lbl STRING, sfx STRING")
+
+    folded_plan = compile_schema(schema, dims)
+    join_plan = compile_schema(schema, join_dims)
+    assert not folded_plan.join_checks and len(folded_plan.checks) >= 3
+    assert len(join_plan.join_checks) == 3
+
+    v_folded = rows_set(
+        validate_corpus({"t2/1": (folded_plan, df)}).violations,
+        ["source", "check_id"])
+    v_join = rows_set(
+        validate_corpus({"t2/1": (join_plan, df)}).violations,
+        ["source", "check_id"])
+    assert v_folded == v_join == {
+        ("r2", "format:term:ex"),
+        ("r2", "format:term:lbl"),
+        ("r2", "format:term:sfx"),
+    }
+
+
+def test_term_folded_zero_shuffles(spark, dims):
+    """Folded term checks add ZERO shuffles: the whole violations plan for a
+    term-bearing schema is exchange-free (VERDICT r1 item 3)."""
+    plan = _schema(dims)
+    assert not plan.join_checks  # both formats folded to pure expressions
+    rows = [("works", 1, ORCID_OK, NCIT_OK, "v1")]
+    res = validate_corpus({"fairtracks_simple/1.0": (
+        plan, spark.createDataFrame(rows, F7_SCHEMA_DDL))})
+    txt = res.violations._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in txt, txt
+
+
+def test_curie_lookup_by_mir_id(spark, dims):
+    """CurieCache.get matches namespace OR id (CurieCache.java:108-115): a
+    schema declaring its namespace as a MIR id must resolve the pattern."""
+    from dataclasses import replace
+
+    from fairtracks_validator_spark.sources.dims import namespace_mir_ids
+
+    mir_dims = replace(dims, namespace_ids=namespace_mir_ids())
+    # MIR:00000000 is the orcid row in the snapshot
+    plan = compile_schema(
+        {"$id": "mir/1", "properties": {"v": {"format": "curie", "matchType": "loose",
+                                              "namespace": "MIR:00000000"}}}, mir_dims)
+    rows = [("ok", 1, "0000-0002-9103-1077"), ("bad", 2, "not-an-orcid")]
+    res = validate_corpus({"mir/1": (plan, spark.createDataFrame(
+        rows, "source STRING, ord INT, v STRING"))})
+    v = {r["source"]: r["validated"] for r in res.verdicts.collect()}
+    assert v == {"ok": True, "bad": False}
+
+    # without namespace_ids the same schema finds nothing in the registry
+    plan_no_ids = compile_schema(
+        {"$id": "mir/2", "properties": {"v": {"format": "curie", "matchType": "loose",
+                                              "namespace": "MIR:00000000"}}}, dims)
+    res2 = validate_corpus({"mir/2": (plan_no_ids, spark.createDataFrame(
+        rows, "source STRING, ord INT, v STRING"))})
+    v2 = {r["source"]: r["validated"] for r in res2.verdicts.collect()}
+    assert v2 == {"ok": False, "bad": False}
+
+
+def test_join_checks_with_custom_source_col(spark, dims):
+    """Non-default source/ord column names through the join-check masking
+    path (regression: pass-1 anti-join used to raise AnalysisException)."""
+    from dataclasses import replace
+
+    join_dims = replace(dims, fold_term_dims=False)
+    plan = compile_schema(
+        {"$id": "cs/1", "primary_key": ["v"], "properties": {
+            "v": {"format": "term", "matchType": "exact", "ontology": "ncit"}}},
+        join_dims)
+    assert plan.join_checks
+    rows = [("u1", 1, NCIT_OK), ("u2", 2, NCIT_BAD), ("u3", 3, NCIT_OK)]
+    df = spark.createDataFrame(rows, "url STRING, page_id INT, v STRING")
+    res = validate_corpus({"cs/1": (plan, df)}, source_col="url", ord_col="page_id")
+    viol = rows_set(res.violations, ["source", "check_id"])
+    assert viol == {("u2", "format:term:v"), ("u3", "pk")}
+
+
 def test_core_keywords(spark):
     plan = compile_schema({
         "$id": "k/1",

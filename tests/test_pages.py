@@ -132,6 +132,31 @@ def test_checkpoint_resume_equals_fresh(spark, pages_df, ckpt_dir, tmp_path):
     assert lin.agg(F.sum("rows_scanned")).collect()[0][0] == N
 
 
+def test_checkpoint_dup_pk_matches_fresh_run(spark, pages_df, tmp_path):
+    """Checkpointed dup-PK detection must equal validate_corpus's, INCLUDING
+    duplicates that share their source value with the first holder (source is
+    url here, and pages duplicates reuse an earlier row's url by construction
+    — the reference flags same-file duplicates too,
+    ValidatedJSONSchema.java:378-383). Regression: the registry used to store
+    only first_source, so url-keyed duplicates were silently missed."""
+    plan = compile_schema(pages_schema_dict())
+    fresh = validate_corpus({"pages/1.0": (plan, pages_df)})
+    fresh_dups = {
+        (r["source"], r["ord"], r["key_str"])
+        for r in fresh.violations.where(F.col("reason") == "dup_pk").collect()
+    }
+    assert len(fresh_dups) > 0  # the fixture plants ~1% duplicates
+
+    cv = CheckpointedValidation(out_dir=str(tmp_path / "dupckpt"), n_partitions=8)
+    cv.run(pages_df, plan, key_col="url", run_id="dups")
+    ck = spark.read.parquet(f"{tmp_path}/dupckpt/violations")
+    ck_dups = {
+        (r["source"], r["ord"], r["key_str"])
+        for r in ck.where(F.col("reason") == "dup_pk").collect()
+    }
+    assert ck_dups == fresh_dups
+
+
 def test_checkpoint_with_fk_registry(spark, tmp_path):
     """FK probes against a frozen external registry inside the checkpointed
     runner (dimension-style referential check, resumable)."""

@@ -59,8 +59,44 @@ def test_fk_probe_broadcasts_small_pk(spark):
         [("s", "pk", f'["{i}"]', "x") for i in range(40)],
         "schema_id string, check_id string, key_str string, first_source string",
     )
-    viol = fk_check(events, "fk0", ["user_id"], "e/1", "s", pk, pk_known_empty=False)
+    # the runner passes broadcast_pk=True after COUNTING the registry small;
+    # the hint must then produce a broadcast join
+    viol = fk_check(events, "fk0", ["user_id"], "e/1", "s", pk,
+                    broadcast_pk=True, pk_known_empty=False)
     assert "BroadcastHashJoin" in _plan_str(viol)
+    # without the size-verified hint there must be NO forced broadcast in the
+    # initial plan (a huge registry would OOM) — AQE may still pick one at
+    # runtime from actual sizes
+    unhinted = fk_check(events, "fk0", ["user_id"], "e/1", "s", pk,
+                        pk_known_empty=False)
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+
+
+def test_runner_gates_fk_broadcast_by_count(spark):
+    """validate_corpus counts each registry once and only then hints."""
+    import fairtracks_validator_spark.runner as R
+
+    schema_a = {"$id": "a/1", "primary_key": ["k"], "properties": {"k": {"type": "string"}}}
+    schema_b = {
+        "$id": "b/1",
+        "properties": {"r": {"type": "string"}},
+        "foreign_keys": [{"schema_id": "a/1", "members": ["r"]}],
+    }
+    a = spark.createDataFrame([(str(i), i, str(i)) for i in range(10)],
+                              "source string, ord long, k string")
+    b = spark.createDataFrame([(f"b{i}", i, str(i % 12)) for i in range(20)],
+                              "source string, ord long, r string")
+    corpus = {"a/1": (compile_schema(schema_a), a), "b/1": (compile_schema(schema_b), b)}
+
+    res = validate_corpus(corpus)
+    missing = {r["key_str"] for r in
+               res.violations.where(F.col("reason") == "fk_missing").collect()}
+    assert missing == {'["10"]', '["11"]'}
+    # small registry (10 keys < threshold) ⇒ the FK probe is a broadcast join
+    assert "BroadcastHashJoin" in _plan_str(
+        res.violations.where(F.col("reason") == "fk_missing")
+    )
+    assert R.BROADCAST_MAX_PK_KEYS >= 10
 
 
 def test_fused_path_single_shuffle(spark, pages_parquet):

@@ -81,6 +81,36 @@ def test_ks_quantile_close_to_exact(spark):
     assert abs(exact - approx) < 0.02
 
 
+def test_ks_quantile_bound_vs_numpy_sf001(spark):
+    """|approx − exact| bound on the real sf0.01 events table (VERDICT r1
+    item 4): error ≤ sketch accuracy + 1/B, asserted at 2/B."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    approx = ks_2samp_quantile(
+        ev, "value", "event_type", "click", "view", buckets=256
+    ).collect()[0]["ks_stat"]
+    pdf = (
+        ev.where(F.col("event_type").isin(["click", "view"]))
+        .where(F.col("value").isNotNull())
+        .select("value", "event_type")
+        .toPandas()
+    )
+    a = pdf.loc[pdf.event_type == "click", "value"].to_numpy()
+    b = pdf.loc[pdf.event_type == "view", "value"].to_numpy()
+    exact = _ks_numpy(a, b)
+    assert abs(approx - exact) <= 2.0 / 256
+
+
+def test_ks_quantile_plan_no_row_multiplication(spark):
+    """The quantile-KS plan must contain NO node that multiplies input rows
+    (the old form crossJoined N rows × B cuts)."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    out = ks_2samp_quantile(ev, "value", "event_type", "click", "view", buckets=64)
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    # the only join is the 1-row broadcast of totals onto ≤B+1 cum rows
+    assert "CartesianProduct" not in txt
+    assert txt.count("NestedLoop") <= 1, txt
+
+
 def _chi2_numpy(table):
     o = np.asarray(table, dtype=float)
     row = o.sum(1, keepdims=True)
