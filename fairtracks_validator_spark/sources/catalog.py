@@ -92,11 +92,50 @@ def read_json_corpus(
     if schema_ddl:
         reader = reader.schema(schema_ddl + ", _corrupt_record STRING")
     df = reader.json(path)
-    df = df.withColumn("source", F.input_file_name())
+    # Capture physical position hints at the SCAN (before any join): rows of
+    # one file block are read sequentially by one task, so (file_block_start,
+    # monotonically_increasing_id) orders rows exactly as they appear in the
+    # file regardless of where split boundaries fall or how many executors
+    # read — the ingredients of a deterministic total order.
+    df = (
+        df.withColumn("source", F.input_file_name())
+        .withColumn("_bstart", F.col("_metadata.file_block_start"))
+        .withColumn("_mono", F.monotonically_increasing_id())
+    )
+    return _stamp_ord(df)
+
+
+def _stamp_ord(df: DataFrame) -> DataFrame:
+    """Deterministic dense ``ord`` = directory-walk order (file path
+    lexicographic, then position within file) with NO global window.
+
+    Per-file row counts are aggregated (one map-combined shuffle keyed by
+    file), cumulative offsets are computed driver-side — bounded by the file
+    COUNT, the same O(#files) the driver's own FileIndex already holds — and
+    broadcast back; within-file ranks come from a window partitioned BY FILE
+    (parallel across files; ties broken by physical position, so JSON-lines
+    corpora get a stable order too — ADVICE r1). The old form ranked the
+    whole corpus through one single-partition window.
+    """
     from pyspark.sql import Window
 
-    w = Window.orderBy("source")
-    return df.withColumn("ord", F.row_number().over(w).cast("long"))
+    spark = df.sparkSession
+    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("_n")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(counts, key=lambda r: r["source"]):
+        offsets.append((r["source"], acc))
+        acc += r["_n"]
+    if not offsets:
+        return df.withColumn("ord", F.lit(None).cast("long")).drop("_bstart", "_mono")
+    off_df = spark.createDataFrame(offsets, "source string, _off long")
+
+    w = Window.partitionBy("source").orderBy("_bstart", "_mono")
+    return (
+        df.join(F.broadcast(off_df), "source")
+        .withColumn("ord", (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .drop("_bstart", "_mono", "_off")
+    )
 
 
 def schema_id_column(df: DataFrame, parent: str | None = PARENT_SCHEMA_KEY):
