@@ -30,6 +30,7 @@ from fairtracks_validator_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    verify_jaccard,
 )
 from fairtracks_validator_spark.operators.drift import (
     chi_square,
@@ -47,6 +48,19 @@ DOC_LANGS = ["en", "de", "es", "fr"]
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _par(df: DataFrame) -> DataFrame:
+    """Decouple per-row compute parallelism from the input split count.
+
+    The local testdata parquet is a single ~MB split, which would serialize
+    the md5/shingle/stopword-heavy kernels onto one or two tasks no matter
+    how many cores the session has. One round-robin shuffle of the narrow
+    input relation spreads the CPU work across all cores; at cluster scale
+    the input arrives in thousands of splits and the same call is a cheap
+    rebalance (or can be dropped entirely)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
 
 
 # --------------------------------------------------------------------- entry
@@ -334,7 +348,7 @@ def _docs_with_clones(spark: SparkSession, sf_dir: str, suffix: str = "") -> Dat
         (F.col("doc_id") + 1000000).alias("doc_id"),
         (F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")).alias("text"),
     )
-    return docs.unionByName(clones)
+    return _par(docs.unionByName(clones))
 
 
 _DOCS_CLONES_SQL = """
@@ -373,7 +387,10 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_sql() -> str:
+def _minhash_cand_cte() -> str:
+    """DuckDB CTE chain replicating tokens→shingles→affine-minhash→bands→
+    candidate pairs (md5-parity with the Spark expressions); reused by the
+    LSH-candidates oracle and the LSH→verify pipeline oracle."""
     from fairtracks_validator_spark.operators.dedup import (
         MINHASH_A,
         MINHASH_B,
@@ -383,7 +400,7 @@ def _minhash_sql() -> str:
     a = "[" + ", ".join(str(x) for x in MINHASH_A) + "]"
     b = "[" + ", ".join(str(x) for x in MINHASH_B) + "]"
     return f"""
-WITH corpus AS ({_DOCS_CLONES_SQL.replace("{SUFFIX}", "|| ' extra extra'")}),
+corpus AS ({_DOCS_CLONES_SQL.replace("{SUFFIX}", "|| ' extra extra'")}),
 tok AS (SELECT doc_id AS id, {_SQL_TOKENS} AS words FROM corpus),
 sh AS (SELECT id, {_SQL_SHINGLES} AS shingles FROM tok WHERE len(words) >= 3),
 hx AS (
@@ -399,17 +416,51 @@ sig AS (
 banded AS (
   SELECT id, b AS band, md5(array_to_string(sg[b*2+1 : b*2+2], '|')) AS band_key
   FROM sig, (SELECT unnest(range(0, 4)) b)
-)
-SELECT l.id::BIGINT AS id_a, r.id::BIGINT AS id_b, COUNT(*)::BIGINT AS shared_bands
-FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
-WHERE l.id < r.id
-GROUP BY l.id, r.id
+),
+cand AS (
+  SELECT l.id AS ia, r.id AS ib, COUNT(*) AS shared_bands
+  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.id < r.id
+  GROUP BY l.id, r.id
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_cand_cte()}
+SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b, shared_bands::BIGINT AS shared_bands
+FROM cand ORDER BY id_a, id_b
+"""
+
+
+def q_minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for n-gram dedup: LSH candidates → exact Jaccard
+    verification restricted to those pairs (no corpus self-join)."""
+    docs = _docs_with_clones(spark, sf_dir, suffix=" extra extra")
+    cands = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=8, bands=4)
+    return verify_jaccard(cands, docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _minhash_verified_sql() -> str:
+    return f"""
+WITH {_minhash_cand_cte()},
+sets AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0)
+SELECT c.ia::BIGINT AS id_a, c.ib::BIGINT AS id_b,
+       ROUND(len(list_intersect(x.shingles, y.shingles)) * 1.0
+             / (len(x.shingles) + len(y.shingles)
+                - len(list_intersect(x.shingles, y.shingles))), 6) AS jaccard
+FROM cand c JOIN sets x ON x.id = c.ia JOIN sets y ON y.id = c.ib
+WHERE ROUND(len(list_intersect(x.shingles, y.shingles)) * 1.0
+            / (len(x.shingles) + len(y.shingles)
+               - len(list_intersect(x.shingles, y.shingles))), 6) >= 0.5
 ORDER BY id_a, id_b
 """
 
 
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    docs = _par(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
     return docs.select(
         F.col("doc_id").alias("doc_id"), simhash(F.col("text")).alias("simhash")
     ).orderBy("doc_id")
@@ -533,7 +584,7 @@ def q_ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ text ops
 def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     return docs.select(F.col("doc_id"), langid(F.col("text")).alias("pred_lang")).orderBy("doc_id")
 
 
@@ -566,7 +617,7 @@ FROM sc ORDER BY doc_id
 
 
 def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     return docs.select(F.col("doc_id"), quality_score(F.col("text")).alias("q")).orderBy("doc_id")
 
 
@@ -591,7 +642,7 @@ FROM m ORDER BY doc_id
 
 
 def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id"),
         token_count(F.col("text")).alias("n_tokens"),
@@ -639,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_window": q_events_hourly_window,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
+        "minhash_verified_dups": q_minhash_verified_dups,
         "simhash_documents": q_simhash_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
@@ -666,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_window": _EVENTS_HOURLY_SQL,
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "minhash_lsh_documents": _minhash_sql(),
+        "minhash_verified_dups": _minhash_verified_sql(),
         "simhash_documents": _SIMHASH_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "cosine_topk_embeddings": _COSINE_TOPK_SQL,

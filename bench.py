@@ -30,8 +30,12 @@ HEADLINE = [
     "events_hourly_window",
     "exact_dedup_documents",
     "minhash_lsh_documents",
+    # the scale path for n-gram dedup: LSH candidates -> exact Jaccard verify
+    # restricted to those pairs. The standalone inverted-index self-join
+    # (ngram_jaccard_documents) stays oracled for correctness but is not a
+    # headline query: it cannot survive 100 TB and dominated r1 bench wall.
+    "minhash_verified_dups",
     "simhash_documents",
-    "ngram_jaccard_documents",
     "cosine_topk_embeddings",
     "langid_documents",
     "quality_documents",

@@ -394,6 +394,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_jaccard(
+    pairs_df: DataFrame,
+    docs_df: DataFrame,
+    id_col: str,
+    content_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_pairs: bool = True,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard computed ONLY for a candidate-pair set —
+    the scale-safe verifier stage of the LSH→verify dedup pipeline.
+
+    ``pairs_df`` must carry ``id_a``/``id_b`` (e.g. the output of
+    :func:`minhash_lsh_candidates`); the exact Jaccard of each pair's
+    distinct-shingle sets is computed via ``array_intersect`` sizes. Unlike
+    :func:`ngram_jaccard_pairs` (an inverted-index SELF-JOIN over the whole
+    corpus — correct, but unsurvivable standalone at 100 TB), this touches
+    each corpus row at most twice and each candidate pair exactly once.
+
+    Cost shape (``broadcast_pairs=True``, the normal case — candidates are
+    output-sized after banding): ONE corpus pass computes shingle sets pruned
+    map-side to the candidate ids (broadcast semi-join, so non-candidate rows
+    never build an array); the pruned sets are candidate-sized and persisted,
+    and the pair join itself touches only candidate-sized relations. The
+    candidate pairs are persisted too, so the LSH pipeline that produced
+    them runs once, not once per reference. Set ``broadcast_pairs=False``
+    for degenerate candidate sets bigger than the broadcast budget; AQE then
+    plans the joins from runtime sizes.
+    """
+    sets = docs_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        shingles(content_col, n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    pairs = pairs_df.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    ).persist()
+    pairs.count()  # materialize NOW: broadcast exchanges build in separate
+    # threads, and a not-yet-populated cache would make each of them re-run
+    # the candidate pipeline from scratch
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    if broadcast_pairs:
+        ids = F.broadcast(ids)
+    # candidate-sized after the prune; persist so the corpus pass runs once
+    cand_sets = sets.join(ids, "id", "left_semi").persist()
+    cand_sets.count()
+    sa = cand_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = cand_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    if broadcast_pairs:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    both = pairs.join(sa, "id_a").join(sb, "id_b")
+    # _let: the intersect size feeds both numerator and union denominator —
+    # bind once (CollapseProject would otherwise inline it per use)
+    jaccard = _let(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double"),
+        lambda i: F.round(
+            i / (F.size("sh_a") + F.size("sh_b") - i), 6
+        ),
+    )
+    return (
+        both.select("id_a", "id_b", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ------------------------------------------------------- embedding near-dup
 def embedding_neardup_pairs(
     df: DataFrame,

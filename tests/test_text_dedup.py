@@ -117,6 +117,38 @@ def test_ngram_jaccard(spark):
     assert 0.5 <= got[0]["jaccard"] < 1.0
 
 
+def test_verify_jaccard_matches_full_self_join(docs):
+    """LSH→verify pipeline: verify_jaccard restricted to LSH candidates must
+    equal the full inverted-index self-join on every pair the LSH surfaced,
+    and must recover all planted near-dups above the threshold."""
+    from fairtracks_validator_spark.operators.dedup import verify_jaccard
+
+    base = docs.select("doc_id", "text").where(F.col("doc_id") < 100)
+    near = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra extra")).alias("text"),
+    )
+    corpus = base.unionByName(near)
+    cands = minhash_lsh_candidates(corpus, "doc_id", "text", num_hashes=8, bands=4)
+    verified = verify_jaccard(cands, corpus, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", n=3,
+                                     threshold=0.5).collect()
+    }
+    cand_set = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    # identical jaccard on every candidate pair that clears the threshold
+    assert got == {p: j for p, j in full.items() if p in cand_set}
+    # the planted near-dups are recovered through the full pipeline
+    for i in range(5):
+        assert (i, 1000 + i) in got and got[(i, 1000 + i)] >= 0.5
+    # no corpus-sized shuffle: the only exchange keys are LSH band buckets
+    txt = verified._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in txt
+
+
 def test_simhash_near_dup(spark):
     long_a = " ".join(f"w{i}" for i in range(60))
     long_b = " ".join(f"w{i}" for i in range(59)) + " CHANGED"
