@@ -540,15 +540,21 @@ FROM scored ORDER BY raw DESC, id ASC LIMIT 10
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-blocked near-dup pairs (the default/scale path); the oracle
+    rebuilds the identical md5-derived planes in SQL."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clones = emb.where(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
     )
     return embedding_neardup_pairs(
-        emb.unionByName(clones), "vec_id", "embedding", threshold=0.999
+        emb.unionByName(clones), "vec_id", "embedding", threshold=0.999,
+        block_planes=4,
     ).orderBy("id_a", "id_b")
 
 
+# block key in SQL: bit p (MSB-first over 4 planes) = 1 iff
+# sum_i vec[i] * w(p,i) > 0, with w(p,i) = +1 iff first md5 hex digit of
+# 'p|i' is even — byte-identical to dedup.plane_weights.
 _EMBEDDING_NEARDUP_SQL = """
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
@@ -560,12 +566,24 @@ v AS (
          sqrt(list_sum([ x::DOUBLE * x::DOUBLE for x in embedding ])) AS nrm
   FROM corpus
   WHERE sqrt(list_sum([ x::DOUBLE * x::DOUBLE for x in embedding ])) > 0
+),
+keyed AS (
+  SELECT id, vec, nrm,
+         list_sum([
+           CASE WHEN list_sum([
+             vec[i+1]::DOUBLE *
+             (CASE WHEN ('0x' || substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1))::BIGINT % 2 = 0
+                   THEN 1.0 ELSE -1.0 END)
+             for i in range(0, len(vec)) ]) > 0
+           THEN (1::BIGINT << (3 - p)) ELSE 0 END
+           for p in range(0, 4) ]) AS blk
+  FROM v
 )
 SELECT l.id::BIGINT AS id_a, r.id::BIGINT AS id_b,
        ROUND(list_sum([ l.vec[i+1]::DOUBLE * r.vec[i+1]::DOUBLE
                         for i in range(0, len(l.vec)) ]) / (l.nrm * r.nrm), 6)
        AS cosine
-FROM v l, v r
+FROM keyed l JOIN keyed r ON l.blk = r.blk
 WHERE l.id < r.id
   AND list_sum([ l.vec[i+1]::DOUBLE * r.vec[i+1]::DOUBLE
                  for i in range(0, len(l.vec)) ]) / (l.nrm * r.nrm) >= 0.999

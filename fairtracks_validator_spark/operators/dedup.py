@@ -469,14 +469,21 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    block_planes: int = 0,
+    block_planes: int = 4,
 ) -> DataFrame:
     """Cosine-similarity ≥ threshold pairs over array<float> embeddings.
 
-    block_planes=0: all-pairs (test scale / within a partition block).
-    block_planes=P: sign-LSH blocking — pairs must share the P-bit
-    hyperplane-sign key (deterministic planes from md5(plane,dim)); recall
-    <1 by design, the standard scale path.
+    Default ``block_planes=4``: sign-LSH blocking — pairs must share the
+    P-bit hyperplane-sign key, so the join is hash-partitioned by block and
+    only within-block pairs are scored (2^P-fold pair reduction at uniform
+    spread). The planes are deterministic ±1 matrices derived from
+    md5(plane|dim) — reproducible in any engine, so the blocked path has an
+    exact SQL oracle. Recall: exact duplicates always share every block key;
+    near-dups at cosine ≥ t are missed with probability ≤ P·arccos(t)/π
+    (~2% at t=0.95, P=4) — the standard recall/cost trade of the scale path.
+
+    ``block_planes=0`` (explicit opt-in): exhaustive all-pairs crossJoin —
+    exact recall, quadratic cost; test scale only.
     """
     v = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -486,11 +493,11 @@ def embedding_neardup_pairs(
     v = v.withColumn("norm", norm).where(F.col("norm") > 0)
 
     if block_planes > 0:
-        key = _sign_lsh_key(F.col("vec"), block_planes)
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        key = _sign_lsh_key(F.col("vec"), block_planes, dim)
         v = v.withColumn("block", key)
-        join_on = ["block"]
         l, r = v.alias("l"), v.alias("r")
-        joined = l.join(r, join_on)
+        joined = l.join(r, ["block"])
     else:
         l, r = v.alias("l"), v.alias("r")
         joined = l.crossJoin(r)
@@ -510,29 +517,33 @@ def embedding_neardup_pairs(
     )
 
 
-def _sign_lsh_key(vec, planes: int):
-    """P-bit sign key under deterministic pseudo-random hyperplanes:
-    plane p component d = ±1 by parity of xxhash64(p, d)."""
-    def bit(p):
+def plane_weights(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix: component (p, d) is +1 iff the
+    first hex digit of md5(f"{p}|{d}") is even. md5 is md5 in every engine,
+    so a SQL oracle can rebuild the identical planes."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _sign_lsh_key(vec, planes: int, dim: int):
+    """P-bit sign key: bit p (MSB-first) = 1 iff dot(vec, plane_p) > 0.
+    The plane matrices are folded as literal arrays — zero per-row hashing."""
+    ws = plane_weights(planes, dim)
+    key = F.lit(0).cast("long")
+    for p in range(planes):
         s = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda d: F.when(
-                        F.pmod(F.xxhash64(p.cast("string"), d.cast("string")), F.lit(2)) == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(vec, F.lit(ws[p]), lambda x, w: x * w),
             F.lit(0.0),
             lambda a, x: a + x,
         )
-        return F.when(s > 0, 1).otherwise(0)
-
-    return F.aggregate(
-        F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), bit),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc * 2 + b,
-    )
+        key = key * 2 + F.when(s > 0, 1).otherwise(0)
+    return key

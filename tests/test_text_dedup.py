@@ -163,14 +163,38 @@ def test_simhash_near_dup(spark):
 
 
 def test_embedding_neardup(emb):
+    """Default (sign-LSH blocked) path: exact clones always share every
+    block key, so recall on true duplicates is 1.0; and at this threshold
+    the blocked result must equal the exhaustive all-pairs one."""
     base = emb.select("vec_id", "embedding")
     clone = base.where(F.col("vec_id") < 3).select(
         (F.col("vec_id") + 9000).alias("vec_id"), "embedding")
-    pairs = embedding_neardup_pairs(base.unionByName(clone), "vec_id", "embedding",
-                                    threshold=0.999)
+    corpus = base.unionByName(clone)
+    pairs = embedding_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     for i in range(3):
         assert (i, 9000 + i) in got
+    exhaustive = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.999, block_planes=0
+        ).collect()
+    }
+    assert got == exhaustive
+    # the blocked plan must NOT contain a cartesian/nested-loop join
+    txt = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in txt and "NestedLoop" not in txt
+
+
+def test_plane_weights_deterministic():
+    from fairtracks_validator_spark.operators.dedup import plane_weights
+
+    a, b = plane_weights(4, 8), plane_weights(4, 8)
+    assert a == b
+    assert all(w in (1.0, -1.0) for row in a for w in row)
+    # not degenerate: both signs occur
+    flat = [w for row in a for w in row]
+    assert 1.0 in flat and -1.0 in flat
 
 
 # ---------------------------------------------------------------- similarity
