@@ -113,6 +113,69 @@ ORDER BY source, check_id
 """
 
 
+def q_validate_documents_draft7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draft-07 keyword surface end-to-end: $ref, anyOf, oneOf, allOf, not,
+    multipleOf, uniqueItems, minItems, maxItems over the documents table."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("ord", F.col("doc_id"))
+        .withColumn("src", F.col("source"))
+        .withColumn("source", F.col("doc_id").cast("string"))
+        .withColumn(
+            "tags", F.slice(F.split(F.coalesce(F.col("text"), F.lit("")), " "), 1, 5)
+        )
+    )
+    plan = compile_schema(
+        {
+            "$id": "documents_draft7/1.0",
+            "$schema": "http://json-schema.org/draft-07/schema#",
+            "definitions": {"nonempty": {"minLength": 10}},
+            "properties": {
+                "doc_id": {"oneOf": [{"multipleOf": 2}, {"multipleOf": 3}]},
+                "n_chars": {"anyOf": [{"maximum": 150}, {"minimum": 250}]},
+                "lang": {"not": {"const": "de"}},
+                "src": {"allOf": [{"pattern": "^src"}, {"maxLength": 4}]},
+                "text": {"$ref": "#/definitions/nonempty"},
+                "tags": {"uniqueItems": True, "minItems": 2, "maxItems": 4},
+            },
+        }
+    )
+    res = validate_corpus({"documents_draft7/1.0": (plan, docs)})
+    return res.violations.select("source", "check_id").orderBy("source", "check_id")
+
+
+_VALIDATE_DRAFT7_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS src_id, doc_id, n_chars, lang, text,
+         source AS src,
+         (string_split(coalesce(text, ''), ' '))[1:5] AS tags
+  FROM documents
+)
+SELECT src_id AS source, 'oneOf:doc_id' AS check_id FROM d
+WHERE doc_id IS NOT NULL
+  AND (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+       + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) <> 1
+UNION ALL
+SELECT src_id, 'anyOf:n_chars' FROM d
+WHERE n_chars IS NOT NULL AND NOT (n_chars <= 150 OR n_chars >= 250)
+UNION ALL
+SELECT src_id, 'not:lang' FROM d WHERE lang IS NOT NULL AND lang = 'de'
+UNION ALL
+SELECT src_id, 'allOf:src' FROM d
+WHERE src IS NOT NULL AND NOT (regexp_matches(src, '^src') AND length(src) <= 4)
+UNION ALL
+SELECT src_id, 'minLength:text' FROM d WHERE text IS NOT NULL AND length(text) < 10
+UNION ALL
+SELECT src_id, 'uniqueItems:tags' FROM d
+WHERE tags IS NOT NULL AND len(list_distinct(tags)) <> len(tags)
+UNION ALL
+SELECT src_id, 'minItems:tags' FROM d WHERE tags IS NOT NULL AND len(tags) < 2
+UNION ALL
+SELECT src_id, 'maxItems:tags' FROM d WHERE tags IS NOT NULL AND len(tags) > 4
+ORDER BY source, check_id
+"""
+
+
 def q_pk_dup_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniqueness operator under heavy duplication: treat o_custkey as a PK
     of orders — every repeat order blames the customer's first order."""
@@ -696,6 +759,7 @@ FROM documents ORDER BY doc_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
+        "validate_documents_draft7": q_validate_documents_draft7,
         "pk_dup_orders_custkey": q_pk_dup_orders_custkey,
         "fk_missing_events_user": q_fk_missing_events_user,
         "profile_orders": q_profile_orders,
@@ -724,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_documents": _VALIDATE_DOCUMENTS_SQL,
+        "validate_documents_draft7": _VALIDATE_DRAFT7_SQL,
         "pk_dup_orders_custkey": _PK_DUP_ORDERS_SQL,
         "fk_missing_events_user": _FK_MISSING_EVENTS_SQL,
         "profile_orders": _profile_sql("orders", ["o_custkey", "o_totalprice", "o_orderdate"]),

@@ -185,6 +185,9 @@ class CheckpointedValidation:
                 F.coalesce(~F.col("_f"), F.lit(True)).alias("validated"),
                 "part_id",
             )
+            .withColumn(
+                "status", F.when(F.col("validated"), "ok").otherwise("failed")
+            )
         )
         part_of = subset.select(
             F.col(source_col).alias("source"), F.col(ord_col).cast("long").alias("ord"),

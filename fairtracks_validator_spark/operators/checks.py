@@ -214,6 +214,107 @@ def max_length_check(jpath: str, n: int) -> Check:
     )
 
 
+# -------------------------------------------- draft-07 numeric/array keywords
+def multiple_of_check(jpath: str, k) -> Check:
+    kd = float(k)
+    pred = lambda v: F.pmod(v.cast("double"), F.lit(kd)) == F.lit(0.0)  # noqa: E731
+    return Check(
+        f"multipleOf:{jpath}", _forall(jpath, pred),
+        F.format_string(f"%s is not a multiple of {k}", _first_bad(jpath, pred)),
+    )
+
+
+def _array_col(jpath: str) -> Column:
+    """The array value at a (possibly dotted, non-fanned) jpath. ``[]`` steps
+    would address the ELEMENTS rather than the array itself, so array-cardinality
+    keywords reject them at compile time."""
+    if "[" in jpath:
+        raise ValueError(
+            f"array keywords need the array itself, not a fan-out path: {jpath!r}"
+        )
+    return F.col(jpath)
+
+
+def min_items_check(jpath: str, n: int) -> Check:
+    c = _array_col(jpath)
+    return Check(
+        f"minItems:{jpath}",
+        c.isNull() | (F.size(c) >= int(n)),
+        F.format_string(f"array of size %s has fewer than {n} items", F.size(c)),
+    )
+
+
+def max_items_check(jpath: str, n: int) -> Check:
+    c = _array_col(jpath)
+    return Check(
+        f"maxItems:{jpath}",
+        c.isNull() | (F.size(c) <= int(n)),
+        F.format_string(f"array of size %s has more than {n} items", F.size(c)),
+    )
+
+
+def unique_items_check(jpath: str) -> Check:
+    c = _array_col(jpath)
+    return Check(
+        f"uniqueItems:{jpath}",
+        c.isNull() | (F.size(F.array_distinct(c)) == F.size(c)),
+        F.lit("array items are not unique"),
+    )
+
+
+# ------------------------------------------- draft-07 combinators + presence
+def presence(jpath: str) -> Column:
+    """True when the instance value exists at jpath — combinators only apply
+    to present values (absent ⇒ vacuously valid, like every other keyword
+    except ``required``)."""
+    if _is_flat(jpath):
+        return F.col(jpath).isNotNull()
+    return F.size(_vals(jpath)) > 0
+
+
+def any_of_check(jpath: str, preds: list[Column]) -> Check:
+    ok = F.lit(False)
+    for p in preds:
+        ok = ok | F.coalesce(p, F.lit(False))
+    return Check(
+        f"anyOf:{jpath}",
+        ~presence(jpath) | ok,
+        F.lit(f"value at {jpath} matches none of the anyOf subschemas"),
+    )
+
+
+def all_of_check(jpath: str, preds: list[Column]) -> Check:
+    ok = F.lit(True)
+    for p in preds:
+        ok = ok & F.coalesce(p, F.lit(False))
+    return Check(
+        f"allOf:{jpath}",
+        ~presence(jpath) | ok,
+        F.lit(f"value at {jpath} fails one of the allOf subschemas"),
+    )
+
+
+def one_of_check(jpath: str, preds: list[Column]) -> Check:
+    n = F.lit(0)
+    for p in preds:
+        n = n + F.coalesce(p, F.lit(False)).cast("int")
+    return Check(
+        f"oneOf:{jpath}",
+        ~presence(jpath) | (n == 1),
+        F.format_string(
+            f"value at {jpath} matches %s oneOf subschemas instead of exactly 1", n
+        ),
+    )
+
+
+def not_check(jpath: str, pred: Column) -> Check:
+    return Check(
+        f"not:{jpath}",
+        ~presence(jpath) | ~F.coalesce(pred, F.lit(False)),
+        F.lit(f"value at {jpath} matches the forbidden 'not' subschema"),
+    )
+
+
 # ---------------------------------------------------------------- P8 format: uri
 # RFC-3986-shaped probe: scheme ":" hier-part, no spaces/illegal chars.
 _URI_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:[^\s<>\"{}|\\^`]*$"

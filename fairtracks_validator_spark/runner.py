@@ -58,23 +58,37 @@ class ValidationResult:
         underlying scan+shuffle once — the way a real run sinks verdicts and
         violations in a single pass rather than one job per output.
         """
+        status = (
+            F.col("status")
+            if "status" in self.verdicts.columns
+            else F.when(F.col("validated"), "ok").otherwise("failed")
+        )
         v = self.verdicts.select(
             F.lit("verdicts").alias("kind"),
-            (~F.col("validated")).cast("long").alias("bad"),
+            (status == "failed").cast("long").alias("bad"),
+            (status == "ignored").cast("long").alias("ign"),
         )
         w = self.violations.select(
-            F.lit("violations").alias("kind"), F.lit(1).cast("long").alias("bad")
+            F.lit("violations").alias("kind"),
+            F.lit(1).cast("long").alias("bad"),
+            F.lit(0).cast("long").alias("ign"),
         )
         rows = (
             v.unionByName(w)
             .groupBy("kind")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("bad").alias("bad"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("bad").alias("bad"),
+                F.sum("ign").alias("ign"),
+            )
             .collect()
         )
-        out = {"docs": 0, "failed_docs": 0, "violations": 0}
+        out = {"docs": 0, "failed_docs": 0, "ignored_docs": 0, "violations": 0}
         for r in rows:
             if r["kind"] == "verdicts":
-                out["docs"], out["failed_docs"] = r["n"], r["bad"]
+                out["docs"], out["failed_docs"], out["ignored_docs"] = (
+                    r["n"], r["bad"], r["ign"],
+                )
             else:
                 out["violations"] = r["n"]
         return out
@@ -235,9 +249,39 @@ def validate_corpus(
             "source", "ord", "schema_id",
             F.coalesce(~F.col("_f"), F.lit(True)).alias("validated"),
         )
+        .withColumn("status", F.when(F.col("validated"), "ok").otherwise("failed"))
     )
     return ValidationResult(
         verdicts=verdicts, violations=violations, pk_registries=pk_registries
+    )
+
+
+def validate_routed(
+    df: DataFrame,
+    plans: dict[str, ValidationPlan],
+    schema_id_col: str = "schema_id",
+    source_col: str = "source",
+    ord_col: str = "ord",
+    seed_registries: dict[tuple[str, str], DataFrame] | None = None,
+) -> ValidationResult:
+    """Route a heterogeneous corpus by its discriminator column and validate.
+
+    Orphan documents (schema id not registered) appear BOTH as violation
+    rows and as verdict rows with ``status='ignored'`` — the reference
+    counts them in its run stats rather than dropping them
+    (``FairGTrackValidatorCli.java:227-233``; skip semantics of
+    ``ValidableDocUnmatchingSchemaException``, ``ValidatedJSONSchema.java:394-397``).
+    """
+    from .sources.catalog import orphan_verdicts, route_corpus
+
+    corpus, orphans = route_corpus(df, plans, schema_id_col)
+    res = validate_corpus(corpus, source_col, ord_col, seed_registries)
+    verdicts = res.verdicts.unionByName(orphan_verdicts(orphans))
+    violations = res.violations.unionByName(
+        orphans.select(*[c.split()[0] for c in VIOLATION_SCHEMA.split(", ")])
+    )
+    return ValidationResult(
+        verdicts=verdicts, violations=violations, pk_registries=res.pk_registries
     )
 
 
@@ -297,6 +341,7 @@ def _validate_fused(
         verdicts = narrow.select(
             "source", "ord", F.lit(schema_id).alias("schema_id"),
             F.col("_ok").alias("validated"),
+            F.when(F.col("_ok"), "ok").otherwise("failed").alias("status"),
         )
         violations = _explode_fails(narrow, schema_id)
         return ValidationResult(verdicts=verdicts, violations=violations)
@@ -319,7 +364,7 @@ def _validate_fused(
     verdicts = shuffled.select(
         "source", "ord", F.lit(schema_id).alias("schema_id"),
         (F.col("_ok") & (F.col("_rn") == 1)).alias("validated"),
-    )
+    ).withColumn("status", F.when(F.col("validated"), "ok").otherwise("failed"))
     dup_viol = shuffled.where(F.col("_ok") & (F.col("_rn") > 1)).select(
         "source", "ord",
         F.lit(schema_id).alias("schema_id"),

@@ -65,6 +65,19 @@ def load_schemas(*dirs: str) -> dict[str, dict]:
                         f"repeated schema id {sid} in {p}, keeping first", stacklevel=2
                     )
                     continue
+                # meta-schema validation at load: invalid schemas are warned
+                # about and NOT registered (≙ the reference's load stats —
+                # ValidatedJSONSchema.java:250-262, UnsupportedSchemaException)
+                from ..plans.schema_compile import validate_schema_document
+
+                errs = validate_schema_document(schema)
+                if errs:
+                    warnings.warn(
+                        f"schema {p} failed meta-schema validation "
+                        f"({errs[0]}{' …' if len(errs) > 1 else ''}), skipping",
+                        stacklevel=2,
+                    )
+                    continue
                 out[sid] = schema
     return out
 
@@ -189,6 +202,19 @@ def route_corpus(
         ).alias("description"),
     )
     return corpus, orphans
+
+
+def orphan_verdicts(orphans: DataFrame) -> DataFrame:
+    """Verdict rows for orphan documents: ``status='ignored'`` — the
+    reference counts them in run stats as ignored instead of dropping them
+    (``FairGTrackValidatorCli.java:227-233``)."""
+    return orphans.select(
+        "source",
+        F.col("ord").cast("long").alias("ord"),
+        "schema_id",
+        F.lit(False).alias("validated"),
+        F.lit("ignored").alias("status"),
+    )
 
 
 def seed_pk_registry(

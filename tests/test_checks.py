@@ -254,6 +254,89 @@ def test_join_checks_with_custom_source_col(spark, dims):
     assert viol == {("u2", "format:term:v"), ("u3", "pk")}
 
 
+def test_draft7_keywords(spark):
+    """$ref / anyOf / oneOf / allOf / not / multipleOf / min-max-uniqueItems
+    (everit handles these in the reference via the draft-07 meta-schema,
+    ValidatedJSONSchema.java:318-329)."""
+    schema = {
+        "$id": "d7/1",
+        "definitions": {"small": {"maximum": 10}},
+        "properties": {
+            "n": {"multipleOf": 3},
+            "m": {"anyOf": [{"maximum": 5}, {"minimum": 100}]},
+            "o": {"oneOf": [{"multipleOf": 2}, {"multipleOf": 3}]},
+            "x": {"not": {"const": "bad"}},
+            "r": {"$ref": "#/definitions/small"},
+            "tags": {"uniqueItems": True, "minItems": 2, "maxItems": 3},
+        },
+    }
+    plan = compile_schema(schema)
+    rows = [
+        # source, ord, n, m, o, x, r, tags
+        ("ok", 1, 9, 3, 4, "good", 5, ["a", "b"]),
+        ("bad_multiple", 2, 10, 150, 9, "good", 5, ["a", "b"]),
+        ("bad_anyof", 3, 9, 50, 4, "good", 5, ["a", "b"]),
+        ("bad_oneof_both", 4, 9, 3, 6, "good", 5, ["a", "b"]),
+        ("bad_oneof_neither", 5, 9, 3, 5, "good", 5, ["a", "b"]),
+        ("bad_not", 6, 9, 3, 4, "bad", 5, ["a", "b"]),
+        ("bad_ref", 7, 9, 3, 4, "good", 20, ["a", "b"]),
+        ("bad_unique_items", 8, 9, 3, 4, "good", 5, ["a", "a"]),
+        ("bad_min_items", 9, 9, 3, 4, "good", 5, ["a"]),
+        ("bad_max_items", 10, 9, 3, 4, "good", 5, ["a", "b", "c", "d"]),
+        ("ok_nulls", 11, None, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "source STRING, ord INT, n LONG, m LONG, o LONG, x STRING, r LONG, "
+        "tags ARRAY<STRING>",
+    )
+    res = validate_corpus({"d7/1": (plan, df)})
+    viol = rows_set(res.violations, ["source", "check_id"])
+    assert viol == {
+        ("bad_multiple", "multipleOf:n"),
+        ("bad_anyof", "anyOf:m"),
+        ("bad_oneof_both", "oneOf:o"),
+        ("bad_oneof_neither", "oneOf:o"),
+        ("bad_not", "not:x"),
+        ("bad_ref", "maximum:r"),
+        ("bad_unique_items", "uniqueItems:tags"),
+        ("bad_min_items", "minItems:tags"),
+        ("bad_max_items", "maxItems:tags"),
+    }
+    v = {r["source"]: r["validated"] for r in res.verdicts.collect()}
+    assert v["ok"] and v["ok_nulls"] and not v["bad_ref"]
+
+
+def test_ref_cycle_and_unknown_keyword_warn(spark):
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        compile_schema({
+            "$id": "warnme/1",
+            "definitions": {"loop": {"$ref": "#/definitions/loop"}},
+            "properties": {
+                "a": {"$ref": "#/definitions/loop"},
+                "b": {"$ref": "#/definitions/missing"},
+                "c": {"type": "string", "patternProperties": {"^x": {}}},
+            },
+        })
+    msgs = [str(x.message) for x in w]
+    assert any("cyclic $ref" in m for m in msgs)
+    assert any("unresolvable $ref" in m for m in msgs)
+    assert any("patternProperties" in m and "not enforced" in m for m in msgs)
+
+
+def test_compile_schema_rejects_invalid_meta():
+    from fairtracks_validator_spark.plans.schema_compile import SchemaValidationError
+
+    with pytest.raises(SchemaValidationError, match="pattern"):
+        compile_schema({"$id": "x/1", "properties": {"v": {"pattern": "("}}})
+    with pytest.raises(SchemaValidationError, match="meta-schema"):
+        compile_schema({"$id": "x/2",
+                        "$schema": "http://json-schema.org/draft-99/schema#"})
+    with pytest.raises(SchemaValidationError, match="type"):
+        compile_schema({"$id": "x/3", "properties": {"v": {"type": 123}}})
+
+
 def test_core_keywords(spark):
     plan = compile_schema({
         "$id": "k/1",
