@@ -80,16 +80,37 @@ def langid_scores(col) -> list[tuple[str, Column]]:
 def langid(col) -> Column:
     """Predicted language = argmax stopword-hit rate; 'und' (undetermined)
     when no stopword hits at all. Ties break lexicographically (deterministic,
-    mirrored in the SQL oracle)."""
-    scores = langid_scores(col)
-    # argmax via greatest over (score, inverted-lang) structs: Spark compares
-    # structs lexicographically, so max score wins; ties pick smallest lang.
-    best = None
-    for lang, score in scores:
-        cand = F.struct(score.alias("s"), F.lit(_inv(lang)).alias("il"))
-        best = cand if best is None else F.greatest(best, cand)
-    any_hits = best.getField("s") > 0
-    return F.when(any_hits, _uninv(best.getField("il"))).otherwise(F.lit("und"))
+    mirrored in the SQL oracle).
+
+    The token array is bound ONCE and shared by all four stopword profiles,
+    and the argmax struct is bound once for the winner extraction — without
+    the let-bindings Catalyst re-inlines the tokenization per profile and
+    the whole argmax per reference (~6x the work per row).
+    """
+    from .expr import let_
+
+    def score_all(toks):
+        # argmax via greatest over (score, inverted-lang) structs: Spark
+        # compares structs lexicographically, so max score wins; ties pick
+        # the smallest lang.
+        n = F.greatest(F.size(toks), F.lit(1))
+        best = None
+        for lang, sw in STOPWORDS.items():
+            hits = F.size(F.filter(toks, _stopword_pred(sw)))
+            cand = F.struct((hits / n).alias("s"), F.lit(_inv(lang)).alias("il"))
+            best = cand if best is None else F.greatest(best, cand)
+        return best
+
+    def pick(best):
+        return F.when(
+            best.getField("s") > 0, _uninv(best.getField("il"))
+        ).otherwise(F.lit("und"))
+
+    return let_(tokens(col), lambda toks: let_(score_all(toks), pick))
+
+
+def _stopword_pred(sw: list[str]):
+    return lambda t: F.lower(t).isin(sw)
 
 
 def _inv(lang: str) -> str:

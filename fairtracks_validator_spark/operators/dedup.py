@@ -30,17 +30,9 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles
 
 
-def _let(bound_expr, body):
-    """Poor-man's let-binding for Column expressions.
-
-    ``_let(e, f) ≡ f(e)`` but ``e`` is evaluated ONCE per row: Catalyst's
-    CollapseProject inlines a projected column into every use site, so an
-    expensive expression referenced k times (e.g. a MinHash signature used by
-    4 band keys) is otherwise recomputed k times. Wrapping it as the input of
-    a single-element ``transform`` forces one evaluation; the lambda variable
-    is a cheap bound reference.
-    """
-    return F.element_at(F.transform(F.array(bound_expr), body), 1)
+# shared let-binding (single evaluation of an expensive expression); see
+# functions/expr.py for why Catalyst needs this
+from ..functions.expr import let_ as _let  # noqa: E402
 
 
 # --------------------------------------------------------------------- exact

@@ -31,16 +31,32 @@ def ks_2samp_exact(
     group_col: str,
     group_a,
     group_b,
+    max_distinct: int | None = 2_000_000,
 ) -> DataFrame:
     """Exact two-sample KS statistic between groups a and b of one table.
 
     Returns a 1-row DataFrame: (n_a, n_b, ks_stat). ECDFs are evaluated at
-    every distinct observed value; D = max |F_a(v) - F_b(v)|.
+    every distinct observed value; D = max |F_a(v) - F_b(v)|. The cumulative
+    window runs over DISTINCT values on one reducer — correct and cheap for
+    bounded-cardinality metrics (lengths, scores), but a guard rejects
+    high-cardinality columns up front (one approx_count_distinct probe)
+    instead of silently funnelling them through a single partition; use
+    :func:`ks_2samp_quantile` for those. ``max_distinct=None`` skips the
+    probe when the caller already knows the cardinality is bounded.
     """
     s = df.where(F.col(group_col).isin([group_a, group_b])).select(
         F.col(value_col).cast("double").alias("v"),
         F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("in_a"),
     ).where(F.col("v").isNotNull())
+
+    if max_distinct is not None:
+        approx = s.agg(F.approx_count_distinct("v", 0.05).alias("n")).first()["n"]
+        if approx > max_distinct:
+            raise ValueError(
+                f"~{approx} distinct values of {value_col!r} exceed the exact-KS "
+                f"single-reducer budget ({max_distinct}); use ks_2samp_quantile "
+                "(the sketch path) or raise/disable max_distinct"
+            )
 
     per_value = s.groupBy("v").agg(
         F.sum("in_a").alias("ca"),
@@ -72,7 +88,7 @@ def _count_lt(cuts: list[float], v) -> "F.Column":
     subexpression elimination, so a naive ``when`` chain would double the
     expression tree per level).
     """
-    from .dedup import _let
+    from ..functions.expr import let_ as _let
 
     m = len(cuts)
     arr = F.lit(cuts)

@@ -52,9 +52,31 @@ def cosine_topk(
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
 
-def assign_clusters(df: DataFrame, id_col: str, vec_col: str, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """Nearest-centroid assignment by cosine; centroids are driver-side
-    constants folded into the expression (broadcast in its cheapest form)."""
+# above this many centroids the constant-folded expression chain outgrows
+# codegen; the Arrow-batched numpy matmul takes over (the real-IVF path,
+# where codebooks have thousands of centroids)
+ASSIGN_FOLD_MAX = 64
+
+
+def assign_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    use_pandas: bool | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine (ties → smallest centroid id).
+
+    Small codebooks fold the centroids into a pure Column expression (zero
+    Python, broadcast in its cheapest form); codebooks past
+    ``ASSIGN_FOLD_MAX`` switch to one vectorized pandas UDF doing a single
+    numpy matmul per Arrow batch — O(batch × k × d) BLAS work instead of a
+    k-deep codegen expression. Both paths produce identical assignments.
+    """
+    if use_pandas is None:
+        use_pandas = len(centroids) > ASSIGN_FOLD_MAX
+    if use_pandas:
+        return _assign_clusters_pandas(df, id_col, vec_col, centroids)
     v = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -68,6 +90,36 @@ def assign_clusters(df: DataFrame, id_col: str, vec_col: str, centroids: list[tu
         cand = F.struct(score.alias("s"), F.lit(-cid).cast("long").alias("nc"))
         best = cand if best is None else F.greatest(best, cand)
     return v.withColumn("cluster", (-best.getField("nc")).cast("int")).drop("_n")
+
+
+def _assign_clusters_pandas(
+    df: DataFrame, id_col: str, vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # sort by centroid id so np.argmax's first-occurrence tie-break matches
+    # the expression path's smallest-id rule
+    cent = sorted(centroids)
+    cids = np.array([cid for cid, _ in cent], dtype=np.int64)
+    cmat = np.asarray([c for _, c in cent], dtype=np.float64)
+    cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
+
+    # no type hints: the local pd import can't resolve string annotations,
+    # so the udf type is declared via the returnType argument instead
+    def _nearest(vecs):
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        return pd.Series(cids[np.argmax(v @ cmat.T, axis=1)].astype("int32"))
+
+    nearest = pandas_udf(_nearest, "int")
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("cluster", nearest(F.col("vec")))
 
 
 def ivf_topk(

@@ -223,6 +223,24 @@ def test_cosine_topk_all_pairs(emb):
 
 
 # ---------------------------------------------------------------- multimodal
+def test_assign_clusters_pandas_matches_folded(emb):
+    """The Arrow/numpy assignment path (big codebooks) must agree with the
+    constant-folded expression path row for row."""
+    from fairtracks_validator_spark.operators.similarity import assign_clusters
+
+    cent_rows = (
+        emb.select(F.col("vec_id").cast("long").alias("id"),
+                   F.col("embedding").cast("array<double>").alias("vec"))
+        .orderBy("id").limit(8).collect()
+    )
+    centroids = [(i, list(r["vec"])) for i, r in enumerate(cent_rows)]
+    folded = assign_clusters(emb, "vec_id", "embedding", centroids, use_pandas=False)
+    vectorized = assign_clusters(emb, "vec_id", "embedding", centroids, use_pandas=True)
+    a = {r["id"]: r["cluster"] for r in folded.collect()}
+    b = {r["id"]: r["cluster"] for r in vectorized.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_multimodal_decode_plumbing(spark):
     from fairtracks_validator_spark.operators.multimodal import decode_image_batch
 
