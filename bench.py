@@ -21,6 +21,7 @@ from fairtracks_validator_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "validate_documents",
+    "validate_documents_draft7",
     "pk_dup_orders_custkey",
     "fk_missing_events_user",
     "profile_orders",
@@ -31,10 +32,10 @@ HEADLINE = [
     "exact_dedup_documents",
     "minhash_lsh_documents",
     # the scale path for n-gram dedup: LSH candidates -> exact Jaccard verify
-    # restricted to those pairs. The standalone inverted-index self-join
-    # (ngram_jaccard_documents) stays oracled for correctness but is not a
-    # headline query: it cannot survive 100 TB and dominated r1 bench wall.
+    # restricted to those pairs (the standalone self-join stays benched below
+    # as the exact-correctness tool, but cannot survive 100 TB alone).
     "minhash_verified_dups",
+    "ngram_jaccard_documents",
     "simhash_documents",
     "cosine_topk_embeddings",
     "langid_documents",
