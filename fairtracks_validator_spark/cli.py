@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from .checkpoint import CheckpointedValidation
 from .plans.schema_compile import Dims, compile_schema
 from .session import get_spark
-from .sources.dims import NAMESPACES_SNAPSHOT
+from .sources.dims import NAMESPACES_SNAPSHOT, namespace_mir_ids
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -48,7 +48,10 @@ def main(argv: list[str] | None = None) -> int:
 
     with open(args.schema) as f:
         schema = json.load(f)
-    plan = compile_schema(schema, dims=Dims(namespaces=NAMESPACES_SNAPSHOT))
+    plan = compile_schema(
+        schema,
+        dims=Dims(namespaces=NAMESPACES_SNAPSHOT, namespace_ids=namespace_mir_ids()),
+    )
     for w in plan.warnings:
         print(f"WARNING: {w}", file=sys.stderr)
 

@@ -136,11 +136,16 @@ def _meta_walk(node, where: str, errs: list[str], depth: int = 0) -> None:
                 bad("type", "array entries must be valid type names")
         else:
             bad("type", "must be a string or array of strings")
-    for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
-               "multipleOf"):
+    for kw in ("minimum", "maximum", "multipleOf"):
         v = node.get(kw)
         if v is not None and (isinstance(v, bool) or not isinstance(v, (int, float))):
             bad(kw, "must be a number")
+    for kw in ("exclusiveMinimum", "exclusiveMaximum"):
+        # draft-04 allows the boolean form (modifier of minimum/maximum);
+        # draft-06+ use the numeric form — the reference loads both drafts
+        v = node.get(kw)
+        if v is not None and not isinstance(v, (bool, int, float)):
+            bad(kw, "must be a number (draft-06+) or boolean (draft-04)")
     mo = node.get("multipleOf")
     if isinstance(mo, (int, float)) and not isinstance(mo, bool) and mo <= 0:
         bad("multipleOf", "must be > 0")
@@ -337,7 +342,10 @@ def _walk(
         _warn(plan, f"schema nesting deeper than 32 at {prefix or '#'} — truncated")
         return
     # array wrapper: descend into items, extending the path with []
-    if isinstance(schema.get("items"), dict):
+    if isinstance(schema.get("items"), list):
+        _warn(plan, f"tuple-form 'items' at {prefix or '#'} is not compiled — "
+                    "per-position constraints not enforced")
+    elif isinstance(schema.get("items"), dict):
         schema = _deref(plan, root, schema["items"])
         if prefix:
             prefix = prefix + "[]"
@@ -424,14 +432,22 @@ def _compile_property(
         plan.checks.append(C.enum_check(path, sub["enum"]))
     if "pattern" in sub:
         plan.checks.append(C.pattern_check(path, sub["pattern"]))
+    # exclusiveMinimum/Maximum: draft-04 boolean form modifies minimum/
+    # maximum; draft-06+ numeric form is standalone
+    excl_min = sub.get("exclusiveMinimum")
+    excl_max = sub.get("exclusiveMaximum")
     if "minimum" in sub:
-        plan.checks.append(C.minimum_check(path, sub["minimum"]))
+        plan.checks.append(
+            C.minimum_check(path, sub["minimum"], exclusive=excl_min is True)
+        )
     if "maximum" in sub:
-        plan.checks.append(C.maximum_check(path, sub["maximum"]))
-    if "exclusiveMinimum" in sub:
-        plan.checks.append(C.minimum_check(path, sub["exclusiveMinimum"], exclusive=True))
-    if "exclusiveMaximum" in sub:
-        plan.checks.append(C.maximum_check(path, sub["exclusiveMaximum"], exclusive=True))
+        plan.checks.append(
+            C.maximum_check(path, sub["maximum"], exclusive=excl_max is True)
+        )
+    if excl_min is not None and not isinstance(excl_min, bool):
+        plan.checks.append(C.minimum_check(path, excl_min, exclusive=True))
+    if excl_max is not None and not isinstance(excl_max, bool):
+        plan.checks.append(C.maximum_check(path, excl_max, exclusive=True))
     if "minLength" in sub:
         plan.checks.append(C.min_length_check(path, sub["minLength"]))
     if "maxLength" in sub:

@@ -325,6 +325,30 @@ def test_ref_cycle_and_unknown_keyword_warn(spark):
     assert any("patternProperties" in m and "not enforced" in m for m in msgs)
 
 
+def test_exclusive_bounds_both_draft_forms(spark):
+    """draft-04 boolean exclusiveMinimum/Maximum (modifier) and draft-06+
+    numeric form both compile."""
+    plan = compile_schema({"$id": "ex/1", "properties": {
+        "v": {"minimum": 5, "exclusiveMinimum": True},
+        "w": {"maximum": 10, "exclusiveMaximum": True},
+        "x": {"exclusiveMinimum": 5},
+    }})
+    rows = [
+        ("ok", 1, 6, 9, 6),
+        ("at_min", 2, 5, 9, 6),     # v == 5 fails (exclusive)
+        ("at_max", 3, 6, 10, 6),    # w == 10 fails (exclusive)
+        ("x_at", 4, 6, 9, 5),       # x == 5 fails (numeric exclusive form)
+    ]
+    df = spark.createDataFrame(rows, "source STRING, ord INT, v LONG, w LONG, x LONG")
+    res = validate_corpus({"ex/1": (plan, df)})
+    viol = rows_set(res.violations, ["source", "check_id"])
+    assert viol == {
+        ("at_min", "minimum:v"),
+        ("at_max", "maximum:w"),
+        ("x_at", "minimum:x"),
+    }
+
+
 def test_compile_schema_rejects_invalid_meta():
     from fairtracks_validator_spark.plans.schema_compile import SchemaValidationError
 
