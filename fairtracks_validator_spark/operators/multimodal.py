@@ -75,6 +75,50 @@ def decode_image_batch(
     return df.select(id_col, payload_col).mapInPandas(decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = "id long, width int, height int, payload binary"
+
+
+def resize_image_batch(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    fake_kernel: bool = False,
+) -> DataFrame:
+    """Resize a binary image column via mapInPandas (same contract as
+    :func:`decode_image_batch`: real Arrow plumbing + output schema, codec
+    kernel stubbed). The fake kernel emits a deterministic byte-stride
+    downsample so tests can assert batch shape, schema, and determinism."""
+
+    def kernel(payload: bytes) -> bytes:
+        if fake_kernel:
+            # deterministic stand-in: stride-sample the byte stream to the
+            # target "pixel" count — stable for identical inputs
+            n = max(target_w * target_h, 1)
+            step = max(len(payload) // n, 1)
+            return payload[::step][:n]
+        raise NotImplementedError(
+            "image codecs are not installed in this environment; "
+            "pass fake_kernel=True for the deterministic test kernel"
+        )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": pdf[payload_col].map(
+                        lambda b: kernel(bytes(b)) if b is not None else None
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling *plan* for video payloads: emits (id, frame_index) rows
     without decoding — the decode itself is the stubbed kernel above."""

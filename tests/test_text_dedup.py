@@ -256,3 +256,21 @@ def test_multimodal_decode_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         decode_image_batch(df, fake_decoder=False).collect()
+
+
+def test_multimodal_resize_plumbing(spark):
+    from fairtracks_validator_spark.operators.multimodal import resize_image_batch
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(256)))), (2, bytearray(b"tiny")), (3, None)],
+        "id LONG, payload BINARY",
+    )
+    out = {r["id"]: r for r in resize_image_batch(df, 4, 4, fake_kernel=True).collect()}
+    assert out[1]["width"] == 4 and out[1]["height"] == 4
+    assert len(bytes(out[1]["payload"])) == 16  # target "pixel" count
+    assert out[3]["payload"] is None
+    # deterministic: same input -> same bytes
+    again = {r["id"]: r for r in resize_image_batch(df, 4, 4, fake_kernel=True).collect()}
+    assert bytes(out[1]["payload"]) == bytes(again[1]["payload"])
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        resize_image_batch(df, 4, 4).collect()
