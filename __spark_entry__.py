@@ -133,10 +133,18 @@ def q_validate_documents_draft7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "properties": {
                 "doc_id": {"oneOf": [{"multipleOf": 2}, {"multipleOf": 3}]},
                 "n_chars": {"anyOf": [{"maximum": 150}, {"minimum": 250}]},
-                "lang": {"not": {"const": "de"}},
+                "lang": {
+                    "not": {"const": "de"},
+                    # draft-07 conditional: langs starting with 'e' must be 'en'
+                    "if": {"pattern": "^e"},
+                    "then": {"const": "en"},
+                },
                 "src": {"allOf": [{"pattern": "^src"}, {"maxLength": 4}]},
                 "text": {"$ref": "#/definitions/nonempty"},
-                "tags": {"uniqueItems": True, "minItems": 2, "maxItems": 4},
+                "tags": {
+                    "uniqueItems": True, "minItems": 2, "maxItems": 4,
+                    "contains": {"pattern": "^t"},
+                },
             },
         }
     )
@@ -172,6 +180,13 @@ UNION ALL
 SELECT src_id, 'minItems:tags' FROM d WHERE tags IS NOT NULL AND len(tags) < 2
 UNION ALL
 SELECT src_id, 'maxItems:tags' FROM d WHERE tags IS NOT NULL AND len(tags) > 4
+UNION ALL
+SELECT src_id, 'ifThenElse:lang' FROM d
+WHERE lang IS NOT NULL AND regexp_matches(lang, '^e') AND lang <> 'en'
+UNION ALL
+SELECT src_id, 'contains:tags' FROM d
+WHERE tags IS NOT NULL
+  AND len(list_filter(tags, t -> regexp_matches(t, '^t'))) = 0
 ORDER BY source, check_id
 """
 

@@ -307,6 +307,36 @@ def one_of_check(jpath: str, preds: list[Column]) -> Check:
     )
 
 
+def if_then_else_check(
+    jpath: str, if_pred: Column, then_pred: Column, else_pred: Column
+) -> Check:
+    """draft-07 conditional: when the value matches ``if``, it must match
+    ``then``; otherwise it must match ``else`` (either may be vacuous)."""
+    ok = F.when(
+        F.coalesce(if_pred, F.lit(False)), F.coalesce(then_pred, F.lit(False))
+    ).otherwise(F.coalesce(else_pred, F.lit(False)))
+    return Check(
+        f"ifThenElse:{jpath}",
+        ~presence(jpath) | ok,
+        F.lit(f"value at {jpath} fails the if/then/else conditional"),
+    )
+
+
+def contains_check(jpath: str, pred) -> Check:
+    """draft-07 ``contains``: at least one array element matches the
+    subschema (elementwise predicate built by the compiler for scalar
+    subschemas)."""
+    c = _array_col(jpath)
+    ok = c.isNull() | F.exists(
+        c, lambda v: F.coalesce(pred(v.cast("string")), F.lit(False))
+    )
+    return Check(
+        f"contains:{jpath}",
+        ok,
+        F.lit(f"no element at {jpath} matches the 'contains' subschema"),
+    )
+
+
 def not_check(jpath: str, pred: Column) -> Check:
     return Check(
         f"not:{jpath}",

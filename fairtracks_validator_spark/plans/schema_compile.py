@@ -211,6 +211,10 @@ def _meta_walk(node, where: str, errs: list[str], depth: int = 0) -> None:
     nt = node.get("not")
     if nt is not None:
         _meta_walk(nt, f"{where}/not", errs, depth + 1)
+    for cond_kw in ("if", "then", "else", "contains"):
+        v = node.get(cond_kw)
+        if v is not None:
+            _meta_walk(v, f"{where}/{cond_kw}", errs, depth + 1)
 
 
 def compile_schema(
@@ -259,7 +263,7 @@ _HANDLED_KEYWORDS = {
     "maximum", "exclusiveMinimum", "exclusiveMaximum", "minLength",
     "maxLength", "minItems", "maxItems", "uniqueItems", "properties",
     "items", "required", "additionalProperties", "anyOf", "oneOf", "allOf",
-    "not",
+    "not", "if", "then", "else", "contains",
     # fairtracks extension keywords (root README.md:9-81)
     "unique", "primary_key", "foreign_keys", "foreignProperty", "namespace",
     "matchType", "ontology", "ancestors", "x-encoding",
@@ -411,6 +415,51 @@ def _subschema_pred(
     return checks_pass_predicate(tmp.checks)
 
 
+def _element_pred(sub: dict):
+    """Elementwise boolean predicate (Column → Column) for a SCALAR
+    subschema — the building block of ``contains``. Returns None when the
+    subschema uses keywords this form can't express."""
+    from pyspark.sql import functions as F
+
+    scalar_kws = {"const", "enum", "pattern", "type", "minimum", "maximum",
+                  "minLength", "maxLength", "multipleOf"}
+    meta_kws = {"title", "description", "$comment", "examples", "default"}
+    if not set(sub) <= (scalar_kws | meta_kws):
+        return None
+
+    def pred(v):
+        ok = F.lit(True)
+        if "const" in sub:
+            ok = ok & (v == F.lit(_json_scalar_str_compile(sub["const"])))
+        if "enum" in sub:
+            ok = ok & v.isin([_json_scalar_str_compile(x) for x in sub["enum"]])
+        if "pattern" in sub:
+            ok = ok & F.coalesce(v.rlike(sub["pattern"]), F.lit(False))
+        t = sub.get("type")
+        if t in ("number", "integer", "boolean"):
+            cast_t = {"number": "double", "integer": "long", "boolean": "boolean"}[t]
+            ok = ok & v.try_cast(cast_t).isNotNull()
+        if "minimum" in sub:
+            ok = ok & (v.cast("double") >= float(sub["minimum"]))
+        if "maximum" in sub:
+            ok = ok & (v.cast("double") <= float(sub["maximum"]))
+        if "minLength" in sub:
+            ok = ok & (F.length(v) >= int(sub["minLength"]))
+        if "maxLength" in sub:
+            ok = ok & (F.length(v) <= int(sub["maxLength"]))
+        if "multipleOf" in sub:
+            ok = ok & (F.pmod(v.cast("double"), F.lit(float(sub["multipleOf"]))) == 0.0)
+        return ok
+
+    return pred
+
+
+def _json_scalar_str_compile(value) -> str:
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
 def _compile_property(
     plan: ValidationPlan,
     path: str,
@@ -487,6 +536,32 @@ def _compile_property(
         plan.checks.append(
             C.not_check(path, _subschema_pred(plan, path, sub["not"], dims, root, depth + 1))
         )
+    if isinstance(sub.get("if"), dict):
+        from pyspark.sql import functions as F
+
+        if_p = _subschema_pred(plan, path, sub["if"], dims, root, depth + 1)
+        then_p = (
+            _subschema_pred(plan, path, sub["then"], dims, root, depth + 1)
+            if isinstance(sub.get("then"), dict) else F.lit(True)
+        )
+        else_p = (
+            _subschema_pred(plan, path, sub["else"], dims, root, depth + 1)
+            if isinstance(sub.get("else"), dict) else F.lit(True)
+        )
+        plan.checks.append(C.if_then_else_check(path, if_p, then_p, else_p))
+
+    # contains: elementwise predicate over an array column — supported for
+    # scalar subschemas (const/enum/pattern/type/bounds/lengths)
+    if isinstance(sub.get("contains"), dict):
+        pred = _element_pred(sub["contains"])
+        if pred is None:
+            _warn(plan, f"'contains' subschema at {path} uses keywords beyond "
+                        "the scalar set — not enforced")
+        else:
+            try:
+                plan.checks.append(C.contains_check(path, pred))
+            except ValueError as e:
+                _warn(plan, str(e))
 
     # additionalProperties: false on an open-object (map-encoded) property.
     # Fixed-layout objects are StructType — closed at parse (SURVEY P6); the

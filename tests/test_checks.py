@@ -325,6 +325,43 @@ def test_ref_cycle_and_unknown_keyword_warn(spark):
     assert any("patternProperties" in m and "not enforced" in m for m in msgs)
 
 
+def test_if_then_else_and_contains(spark):
+    plan = compile_schema({
+        "$id": "cond/1",
+        "properties": {
+            # if the value starts with 'e', it must be exactly 'en'
+            "lang": {"if": {"pattern": "^e"}, "then": {"const": "en"},
+                     "else": {"minLength": 2}},
+            # at least one tag must start with 't'
+            "tags": {"contains": {"pattern": "^t"}},
+        },
+    })
+    rows = [
+        ("ok_then", 1, "en", ["two", "x"]),
+        ("bad_then", 2, "es", ["two", "x"]),
+        ("ok_else", 3, "fr", ["two", "x"]),
+        ("bad_else", 4, "f", ["two", "x"]),
+        ("bad_contains", 5, "en", ["no", "match"]),
+        ("ok_nulls", 6, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "source STRING, ord INT, lang STRING, tags ARRAY<STRING>")
+    res = validate_corpus({"cond/1": (plan, df)})
+    viol = rows_set(res.violations, ["source", "check_id"])
+    assert viol == {
+        ("bad_then", "ifThenElse:lang"),
+        ("bad_else", "ifThenElse:lang"),
+        ("bad_contains", "contains:tags"),
+    }
+
+    # contains with non-scalar subschema warns instead of mis-compiling
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        compile_schema({"$id": "cond/2", "properties": {
+            "tags": {"contains": {"properties": {"x": {}}}}}})
+    assert any("beyond the scalar set" in str(x.message) for x in w)
+
+
 def test_exclusive_bounds_both_draft_forms(spark):
     """draft-04 boolean exclusiveMinimum/Maximum (modifier) and draft-06+
     numeric form both compile."""
