@@ -1,0 +1,71 @@
+"""Custom stateful streaming operator: cross-batch first-seen dedup.
+
+``applyInPandasWithState`` is the Structured-Streaming surface for operators
+whose state is not a windowed aggregate — here a streaming EXACT-DEDUP:
+emit each content hash the first time it is seen across the whole stream,
+suppress every later occurrence. This is the streaming twin of
+``operators/dedup.py::exact_duplicates`` (and complements
+``validate_stream.py``'s foreachBatch registry, which keeps its state in a
+TABLE for seedability; this one keeps it in the state store for latency).
+
+Scale shape: state is partitioned by a hash-prefix bucket key (256-4096
+buckets → the shuffle key), each group's state holds only the digests seen
+in that bucket — 16-byte-digest cardinality, never content. State growth is
+linear in distinct content; production deployments bound it with a TTL
+(``GroupStateTimeout``) or periodic snapshot-to-table compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "id long, content_hash string"
+STATE_SCHEMA = "hashes array<string>"
+
+
+def _first_seen_fn(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    seen = set(state.get[0]) if state.exists else set()
+    ids, hashes = [], []
+    for pdf in pdf_iter:
+        for id_, h in zip(pdf["id"], pdf["content_hash"]):
+            if h not in seen:
+                seen.add(h)
+                ids.append(int(id_))
+                hashes.append(h)
+    state.update((sorted(seen),))
+    yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                        "content_hash": pd.Series(hashes, dtype="object")})
+
+
+def first_seen_stream(
+    stream_df: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+    buckets_hex_chars: int = 2,
+) -> DataFrame:
+    """First occurrence of each distinct content value across the stream.
+
+    Rows are keyed by an md5-prefix bucket (``16^buckets_hex_chars`` state
+    groups — the shuffle key); within each group the state store carries the
+    seen digest set. Later occurrences of the same content are dropped,
+    intra-batch duplicates included (first row in batch order wins).
+    """
+    keyed = stream_df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.md5(F.col(content_col)).alias("content_hash"),
+    ).where(F.col("content_hash").isNotNull()).withColumn(
+        "bucket", F.substring("content_hash", 1, buckets_hex_chars)
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        # append: each emitted row is FINAL (a content hash is emitted at
+        # most once, ever) — which also keeps file sinks (parquet) usable
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -68,6 +68,49 @@ def test_validate_stream_available_now(spark, tmp_path, PLAN):
     assert {(r["source"], r["reason"]) for r in viol.collect()} == {("b", "dup_pk")}
 
 
+def test_first_seen_stream_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: duplicates suppressed both
+    within a micro-batch and ACROSS micro-batches (state-store persistence);
+    two sequential availableNow runs over a growing source directory model
+    two batches."""
+    import hashlib
+
+    from fairtracks_validator_spark.streaming.stateful import first_seen_stream
+
+    src = str(tmp_path / "fs_src")
+    out = str(tmp_path / "fs_out")
+    ckpt = str(tmp_path / "fs_ckpt")
+    ddl = "id LONG, content STRING"
+
+    def run_once():
+        stream = spark.readStream.schema(ddl).parquet(src)
+        q = (first_seen_stream(stream, "id", "content")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: one intra-batch duplicate (ids 1 and 2 share content)
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], ddl
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    # batch 2: cross-batch duplicate of 'alpha' + one new content
+    spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma")], ddl
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {(r["id"], r["content_hash"])
+           for r in spark.read.parquet(out).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert {h for _, h in got} == {md5("alpha"), md5("beta"), md5("gamma")}
+    # 'alpha' was emitted exactly once, for one of the batch-1 rows
+    alpha_ids = {i for i, h in got if h == md5("alpha")}
+    assert len(alpha_ids) == 1 and alpha_ids <= {1, 2}
+    assert (3, md5("beta")) in got and (5, md5("gamma")) in got
+
+
 def test_windowed_event_counts_matches_batch(spark, tmp_path):
     src = str(tmp_path / "ev")
     ev = spark.createDataFrame(
