@@ -537,6 +537,43 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline tail: LSH candidates → exact Jaccard verify →
+    connected components → (id, cluster_rep) keep/drop assignments."""
+    from fairtracks_validator_spark.operators.dedup import dedup_components
+
+    docs = _docs_with_clones(spark, sf_dir, suffix=" extra extra")
+    cands = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = verify_jaccard(cands, docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_components(pairs).orderBy("id")
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cand_cte()},
+sets AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+vp AS (
+  SELECT c.ia AS id_a, c.ib AS id_b
+  FROM cand c JOIN sets x ON x.id = c.ia JOIN sets y ON y.id = c.ib
+  WHERE ROUND(len(list_intersect(x.shingles, y.shingles)) * 1.0
+              / (len(x.shingles) + len(y.shingles)
+                 - len(list_intersect(x.shingles, y.shingles))), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM vp
+  UNION
+  SELECT id_b AS s, id_a AS d FROM vp
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s::BIGINT AS id, LEAST(s, MIN(d))::BIGINT AS cluster_rep
+FROM reach GROUP BY s ORDER BY id
+"""
+
+
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
     return docs.select(
@@ -788,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "minhash_verified_dups": q_minhash_verified_dups,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
         "simhash_documents": q_simhash_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
@@ -817,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "minhash_lsh_documents": _minhash_sql(),
         "minhash_verified_dups": _minhash_verified_sql(),
+        "dedup_clusters_documents": _dedup_clusters_sql(),
         "simhash_documents": _SIMHASH_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "cosine_topk_embeddings": _COSINE_TOPK_SQL,

@@ -455,6 +455,65 @@ def verify_jaccard(
     )
 
 
+def dedup_components(
+    pairs_df: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over duplicate pairs → ``(id, cluster_rep)``
+    with ``cluster_rep`` = the smallest id in the component (the canonical
+    keeper; everything else is droppable).
+
+    Min-label propagation over the symmetrized edge set: each round every
+    node adopts the minimum label in its closed neighborhood; stop when a
+    round changes nothing. Each round is one join + one aggregation (two
+    shuffles) over the PAIR set — which is output-sized after LSH+verify,
+    not corpus-sized. Rounds needed = the longest shortest-path to a
+    component's minimum; near-dup components are short chains in practice
+    (the classic large-star/small-star variant trades per-round cost for
+    O(log n) rounds if monster components ever appear — ``max_iter`` makes
+    the cap explicit rather than silent).
+    """
+    edges = (
+        pairs_df.select(F.col("id_a").cast("long").alias("src"),
+                        F.col("id_b").cast("long").alias("dst"))
+        .unionByName(
+            pairs_df.select(F.col("id_b").cast("long").alias("src"),
+                            F.col("id_a").cast("long").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "rep", F.col("id")
+    ).persist()
+    labels.count()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("rep", F.coalesce("nbr_rep", "rep")).alias("rep"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("rep").alias("cluster_rep"))
+
+
 # ------------------------------------------------------- embedding near-dup
 def embedding_neardup_pairs(
     df: DataFrame,

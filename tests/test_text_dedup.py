@@ -186,6 +186,23 @@ def test_embedding_neardup(emb):
     assert "CartesianProduct" not in txt and "NestedLoop" not in txt
 
 
+def test_dedup_components_chain_and_star(spark):
+    """Min-label propagation: chains, stars, singleton pairs, and two
+    separate components resolve to their minimum-id representative."""
+    from fairtracks_validator_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        # component A: chain 5-3-7-1 (min 1); component B: star 10-(11,12)
+        [(5, 3), (3, 7), (7, 1), (10, 11), (10, 12)],
+        "id_a LONG, id_b LONG",
+    )
+    got = {(r["id"], r["cluster_rep"]) for r in dedup_components(pairs).collect()}
+    assert got == {
+        (1, 1), (3, 1), (5, 1), (7, 1),
+        (10, 10), (11, 10), (12, 10),
+    }
+
+
 def test_plane_weights_deterministic():
     from fairtracks_validator_spark.operators.dedup import plane_weights
 
