@@ -603,6 +603,44 @@ FROM votes ORDER BY doc_id
 """
 
 
+def q_simhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash chunk-blocked near-dup pairs with exact Hamming verify."""
+    from fairtracks_validator_spark.operators.dedup import simhash_candidates
+
+    docs = _docs_with_clones(spark, sf_dir)  # exact clones → hamming 0
+    return simhash_candidates(docs, "doc_id", "text", max_hamming=3,
+                              bands=4).orderBy("id_a", "id_b")
+
+
+_SIMHASH_NEARDUP_SQL = f"""
+WITH corpus AS ({_DOCS_CLONES_SQL.replace("{SUFFIX}", "")}),
+tok AS (SELECT doc_id AS id, {_SQL_TOKENS} AS words FROM corpus),
+th AS (
+  SELECT id, [ ('0x' || substr(md5(t), 1, 15))::BIGINT for t in words ] AS hashes
+  FROM tok
+),
+votes AS (
+  SELECT id, [ list_sum([ ((h >> i) & 1) * 2 - 1 for h in hashes ])
+               for i in range(0, 60) ] AS v
+  FROM th
+),
+sh AS (
+  SELECT id, list_sum([ CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END
+                        for i in range(0, 60) ])::BIGINT AS s
+  FROM votes
+),
+blocked AS (
+  SELECT id, s, b AS band, (s >> (b * 15)) & 32767 AS chunk
+  FROM sh, (SELECT unnest(range(0, 4)) b)
+)
+SELECT DISTINCT l.id::BIGINT AS id_a, r.id::BIGINT AS id_b,
+       bit_count(xor(l.s, r.s))::INT AS hamming
+FROM blocked l JOIN blocked r ON l.band = r.band AND l.chunk = r.chunk
+WHERE l.id < r.id AND bit_count(xor(l.s, r.s)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _docs_with_clones(spark, sf_dir, suffix=" extra extra"),
@@ -827,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_dups": q_minhash_verified_dups,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "simhash_documents": q_simhash_documents,
+        "simhash_neardup_documents": q_simhash_neardup_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "embedding_neardup": q_embedding_neardup,
@@ -857,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_dups": _minhash_verified_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
         "simhash_documents": _SIMHASH_SQL,
+        "simhash_neardup_documents": _SIMHASH_NEARDUP_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "cosine_topk_embeddings": _COSINE_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,

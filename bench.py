@@ -35,8 +35,10 @@ HEADLINE = [
     # restricted to those pairs (the standalone self-join stays benched below
     # as the exact-correctness tool, but cannot survive 100 TB alone).
     "minhash_verified_dups",
+    "dedup_clusters_documents",
     "ngram_jaccard_documents",
     "simhash_documents",
+    "simhash_neardup_documents",
     "cosine_topk_embeddings",
     "langid_documents",
     "quality_documents",
