@@ -745,12 +745,56 @@ ORDER BY id_a, id_b
 
 
 def q_ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (approximate by design — rows-only check; recall vs exact is
-    asserted in tests/test_text_dedup.py)."""
+    """IVF ANN — approximate vs exact ANN by design, but the PIPELINE is
+    deterministic (first-16 centroids, cosine argmax assignment, top-4
+    probe), so DuckDB replicates it exactly: full value oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_topk(emb, "vec_id", "embedding", qv, k=10, n_clusters=16,
                     n_probe=4, exclude_id=0)
+
+
+_IVF_ANN_SQL = """
+WITH q AS (
+  SELECT embedding AS qv,
+         sqrt(list_sum([ x::DOUBLE * x::DOUBLE for x in embedding ])) AS qn
+  FROM embeddings WHERE vec_id = 0
+),
+v AS (
+  SELECT vec_id AS id, embedding AS vec,
+         sqrt(list_sum([ x::DOUBLE * x::DOUBLE for x in embedding ])) AS vn
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, vec AS cvec, vn AS cn
+  FROM v ORDER BY id LIMIT 16
+),
+sims AS (
+  SELECT v.id, v.vec, v.vn, cent.cidx,
+         list_sum([ v.vec[i+1]::DOUBLE * cent.cvec[i+1]::DOUBLE
+                    for i in range(0, len(v.vec)) ]) / (v.vn * cent.cn) AS cs
+  FROM v CROSS JOIN cent
+),
+assign AS (
+  SELECT id, vec, vn, cidx,
+         row_number() OVER (PARTITION BY id ORDER BY cs DESC, cidx ASC) AS rn
+  FROM sims
+),
+probe AS (
+  SELECT cent.cidx
+  FROM cent, q
+  ORDER BY list_sum([ cent.cvec[i+1]::DOUBLE * q.qv[i+1]::DOUBLE
+                      for i in range(0, len(q.qv)) ]) / (cent.cn * q.qn) DESC,
+           cent.cidx ASC
+  LIMIT 4
+)
+SELECT a.id::BIGINT AS id,
+       ROUND(list_sum([ a.vec[i+1]::DOUBLE * q.qv[i+1]::DOUBLE
+                        for i in range(0, len(q.qv)) ]) / (a.vn * q.qn), 6) AS score
+FROM assign a, q
+WHERE a.rn = 1 AND a.cidx IN (SELECT cidx FROM probe) AND a.id <> 0
+ORDER BY score DESC, id ASC LIMIT 10
+"""
 
 
 # ------------------------------------------------------------------ text ops
@@ -885,8 +929,8 @@ def oracle_sql() -> dict[str, str]:
         "fk_missing_events_user": _FK_MISSING_EVENTS_SQL,
         "profile_orders": _profile_sql("orders", ["o_custkey", "o_totalprice", "o_orderdate"]),
         "profile_documents": _profile_sql("documents", ["lang", "n_chars", "source"]),
-        # hll_cardinality / ks_quantile_events / ivf_ann_embeddings:
-        # sketch-based or approximate-by-design → rows-only checks
+        # hll_cardinality / ks_quantile_events: sketch-based (engine-specific
+        # internals) → rows-only checks
         "ks_events_value": _KS_EVENTS_SQL,
         "ks_per_lang_documents": _KS_PER_LANG_SQL,
         "chi_square_events": _CHI_SQUARE_EVENTS_SQL,
@@ -900,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "cosine_topk_embeddings": _COSINE_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+        "ivf_ann_embeddings": _IVF_ANN_SQL,
         "langid_documents": _langid_sql(),
         "quality_documents": _QUALITY_SQL,
         "token_counts_documents": _TOKEN_COUNTS_SQL,
