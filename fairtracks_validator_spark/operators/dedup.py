@@ -486,7 +486,10 @@ def dedup_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "rep", F.col("id")
     ).persist()
-    labels.count()
+    # convergence probe: min-propagation strictly DECREASES the label sum
+    # until the fixpoint, so one cheap sum per round replaces a join+count —
+    # the sum action also materializes the round's persisted labels.
+    prev_sum = labels.agg(F.sum("rep")).first()[0]
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -499,17 +502,12 @@ def dedup_components(
             .select("id", F.least("rep", F.coalesce("nbr_rep", "rep")).alias("rep"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.rep") != F.col("o.rep"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("rep")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select("id", F.col("rep").alias("cluster_rep"))
 
