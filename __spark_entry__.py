@@ -257,6 +257,60 @@ WHERE user_id IS NOT NULL
 """
 
 
+def q_validate_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-pass multi-schema runner (the NON-fused path): customers
+    failing their own schema check never record PK keys
+    (ValidatedJSONSchema.java:360-392), so events referencing them FK-fail;
+    events failing pass 1 are masked out of pass 2
+    (FairGTrackValidatorCli.java:276-315)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string")).alias("source"),
+        F.col("c_custkey").alias("ord"), "c_custkey", "c_acctbal",
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("source"),
+        F.col("event_id").alias("ord"), "user_id", "value",
+    )
+    users_plan = compile_schema({
+        "$id": "users/1.0", "primary_key": ["c_custkey"],
+        "properties": {"c_acctbal": {"minimum": 0}},
+    })
+    events_plan = compile_schema({
+        "$id": "events/1.0",
+        "properties": {"value": {"maximum": 400}},
+        "foreign_keys": [{"schema_id": "users/1.0", "members": ["user_id"]}],
+    })
+    res = validate_corpus(
+        {"users/1.0": (users_plan, cust), "events/1.0": (events_plan, ev)}
+    )
+    return res.violations.select("source", "check_id", "key_str").orderBy(
+        "source", "check_id", "key_str"
+    )
+
+
+_VALIDATE_MULTISCHEMA_SQL = """
+WITH recorded AS (
+  -- pass-1 survivors record their PK; schema-failed customers do NOT
+  SELECT '["' || CAST(c_custkey AS VARCHAR) || '"]' AS key_str
+  FROM customer WHERE c_acctbal IS NULL OR c_acctbal >= 0
+)
+SELECT 'u' || CAST(c_custkey AS VARCHAR) AS source,
+       'minimum:c_acctbal' AS check_id, CAST(NULL AS VARCHAR) AS key_str
+FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal < 0
+UNION ALL
+SELECT 'e' || CAST(event_id AS VARCHAR), 'maximum:value', CAST(NULL AS VARCHAR)
+FROM events WHERE value IS NOT NULL AND value > 400
+UNION ALL
+SELECT 'e' || CAST(event_id AS VARCHAR), 'fk:.:0',
+       '["' || CAST(user_id AS VARCHAR) || '"]'
+FROM events
+WHERE (value IS NULL OR value <= 400)  -- pass-1 failures masked from pass 2
+  AND user_id IS NOT NULL
+  AND '["' || CAST(user_id AS VARCHAR) || '"]' NOT IN (SELECT key_str FROM recorded)
+ORDER BY source, check_id, key_str
+"""
+
+
 # --------------------------------------------------------------------- stats
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile(
@@ -894,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
         "validate_documents_draft7": q_validate_documents_draft7,
+        "validate_multischema": q_validate_multischema,
         "pk_dup_orders_custkey": q_pk_dup_orders_custkey,
         "fk_missing_events_user": q_fk_missing_events_user,
         "profile_orders": q_profile_orders,
@@ -925,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "validate_documents": _VALIDATE_DOCUMENTS_SQL,
         "validate_documents_draft7": _VALIDATE_DRAFT7_SQL,
+        "validate_multischema": _VALIDATE_MULTISCHEMA_SQL,
         "pk_dup_orders_custkey": _PK_DUP_ORDERS_SQL,
         "fk_missing_events_user": _FK_MISSING_EVENTS_SQL,
         "profile_orders": _profile_sql("orders", ["o_custkey", "o_totalprice", "o_orderdate"]),

@@ -22,6 +22,7 @@ from fairtracks_validator_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "validate_documents",
     "validate_documents_draft7",
+    "validate_multischema",
     "pk_dup_orders_custkey",
     "fk_missing_events_user",
     "profile_orders",
