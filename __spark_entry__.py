@@ -340,6 +340,63 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fairtracks_validator_spark.operators.stats import histogram
+
+    return histogram(_t(spark, sf_dir, "events"), "value", 0.0, 500.0, buckets=20)
+
+
+_HISTOGRAM_EVENTS_SQL = """
+WITH b AS (
+  SELECT CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+              WHEN CAST(value AS DOUBLE) >= 500.0 THEN 21
+              ELSE CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 500.0 * 20) + 1 AS INT)
+         END AS bucket
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bucket::INT AS bucket,
+       ROUND(0.0::DOUBLE + (bucket - 1) * 25.0::DOUBLE, 6) AS lo_edge,
+       ROUND(0.0::DOUBLE + bucket * 25.0::DOUBLE, 6) AS hi_edge,
+       COUNT(*)::BIGINT AS n
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_psi_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index: value distribution drift of clicks
+    (observed) vs views (reference)."""
+    from fairtracks_validator_spark.operators.stats import psi
+
+    return psi(_t(spark, sf_dir, "events"), "value", "event_type",
+               "view", "click", lo=0.0, hi=500.0, buckets=10)
+
+
+_PSI_EVENTS_SQL = """
+WITH s AS (
+  SELECT CASE WHEN v < 0.0 THEN 0 WHEN v >= 500.0 THEN 11
+              ELSE CAST(FLOOR((v - 0.0) / 500.0 * 10) + 1 AS INT) END AS bucket,
+         (event_type = 'click') AS is_obs
+  FROM (SELECT CAST(value AS DOUBLE) AS v, event_type FROM events
+        WHERE event_type IN ('view', 'click') AND value IS NOT NULL)
+),
+cells AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_obs THEN 0 ELSE 1 END) AS c_ref,
+         SUM(CASE WHEN is_obs THEN 1 ELSE 0 END) AS c_obs
+  FROM s GROUP BY bucket
+),
+t AS (SELECT SUM(c_ref) AS n_ref, SUM(c_obs) AS n_obs FROM cells)
+SELECT n_ref::BIGINT AS n_ref, n_obs::BIGINT AS n_obs,
+       ROUND(SUM(
+         (GREATEST(c_obs * 1.0 / n_obs, 0.000001)
+          - GREATEST(c_ref * 1.0 / n_ref, 0.000001))
+         * LN(GREATEST(c_obs * 1.0 / n_obs, 0.000001)
+              / GREATEST(c_ref * 1.0 / n_ref, 0.000001))
+       ), 6) AS psi
+FROM cells, t GROUP BY n_ref, n_obs
+"""
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch cardinalities (no SQL oracle — sketch values are
     engine-specific; rows-only check)."""
@@ -953,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_missing_events_user": q_fk_missing_events_user,
         "profile_orders": q_profile_orders,
         "profile_documents": q_profile_documents,
+        "histogram_events_value": q_histogram_events_value,
+        "psi_events_value": q_psi_events_value,
         "hll_cardinality": q_hll_cardinality,
         "ks_events_value": q_ks_events_value,
         "ks_quantile_events": q_ks_quantile_events,
@@ -985,6 +1044,8 @@ def oracle_sql() -> dict[str, str]:
         "fk_missing_events_user": _FK_MISSING_EVENTS_SQL,
         "profile_orders": _profile_sql("orders", ["o_custkey", "o_totalprice", "o_orderdate"]),
         "profile_documents": _profile_sql("documents", ["lang", "n_chars", "source"]),
+        "histogram_events_value": _HISTOGRAM_EVENTS_SQL,
+        "psi_events_value": _PSI_EVENTS_SQL,
         # hll_cardinality / ks_quantile_events: sketch-based (engine-specific
         # internals) → rows-only checks
         "ks_events_value": _KS_EVENTS_SQL,

@@ -92,6 +92,81 @@ def hll_merge_estimate(sketches: DataFrame, sketch_col: str = "sketch") -> DataF
     )
 
 
+def fixed_width_bucket(value, lo: float, hi: float, buckets: int):
+    """Bucket index 1..buckets for values in [lo, hi); 0 below, buckets+1 at/
+    above hi. Explicit floor arithmetic (NOT ``width_bucket``) so any SQL
+    engine reproduces the exact same bin edges bit for bit."""
+    v = value.cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * buckets) + 1
+    return (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(buckets + 1))
+        .otherwise(raw)
+        .cast("int")
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram: (bucket, lo_edge, hi_edge, n). One map-combined
+    aggregation — shuffle payload is ≤ buckets+2 partial rows per task, never
+    row data; under/overflow land in buckets 0 and buckets+1."""
+    width = (hi - lo) / buckets
+    b = fixed_width_bucket(F.col(value_col), lo, hi, buckets)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + (F.col("bucket") - 1) * F.lit(width), 6).alias("lo_edge"),
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("hi_edge"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
+
+
+def psi(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_ref,
+    group_obs,
+    lo: float,
+    hi: float,
+    buckets: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and an observed group:
+    PSI = Σ_b (p_obs − p_ref) · ln(p_obs / p_ref), over fixed-width buckets
+    (plus under/overflow). Empty bins are floored at ``epsilon`` (the
+    standard smoothing, part of the contract so SQL oracles reproduce it).
+    One aggregation over ≤ buckets+2 cells; drift verdicts usually threshold
+    at 0.1 (moderate) / 0.25 (major)."""
+    s = df.where(F.col(group_col).isin([group_ref, group_obs])).select(
+        fixed_width_bucket(F.col(value_col), lo, hi, buckets).alias("bucket"),
+        (F.col(group_col) == group_obs).alias("is_obs"),
+    ).where(F.col("bucket").isNotNull())
+    cells = s.groupBy("bucket").agg(
+        F.sum((~F.col("is_obs")).cast("long")).alias("c_ref"),
+        F.sum(F.col("is_obs").cast("long")).alias("c_obs"),
+    )
+    totals = cells.agg(F.sum("c_ref").alias("n_ref"), F.sum("c_obs").alias("n_obs"))
+    p_ref = F.greatest(F.col("c_ref") / F.col("n_ref"), F.lit(epsilon))
+    p_obs = F.greatest(F.col("c_obs") / F.col("n_obs"), F.lit(epsilon))
+    return cells.crossJoin(F.broadcast(totals)).agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_obs").alias("n_obs"),
+        F.round(F.sum((p_obs - p_ref) * F.log(p_obs / p_ref)), 6).alias("psi"),
+    )
+
+
 def null_rate_check(
     df: DataFrame, column: str, max_null_rate: float, schema_id: str = "stats"
 ) -> DataFrame:
