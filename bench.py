@@ -26,6 +26,8 @@ HEADLINE = [
     "pk_dup_orders_custkey",
     "fk_missing_events_user",
     "profile_orders",
+    "histogram_events_value",
+    "psi_events_value",
     "ks_events_value",
     "ks_quantile_events",
     "chi_square_events",
