@@ -483,12 +483,17 @@ def dedup_components(
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "rep", F.col("id")
-    ).persist()
+    # localCheckpoint (not persist): iterative lineage otherwise NESTS the
+    # entire history into every round's plan — exponential plan strings,
+    # eventual planner stack overflow. Truncating per round keeps each
+    # round's plan constant-size; the checkpointed relation is pair-sized.
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint()
+    )
     # convergence probe: min-propagation strictly DECREASES the label sum
-    # until the fixpoint, so one cheap sum per round replaces a join+count —
-    # the sum action also materializes the round's persisted labels.
+    # until the fixpoint, so one cheap sum per round replaces a join+count.
     prev_sum = labels.agg(F.sum("rep")).first()[0]
 
     for _ in range(max_iter):
@@ -497,14 +502,12 @@ def dedup_components(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("rep").alias("nbr_rep"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("rep", F.coalesce("nbr_rep", "rep")).alias("rep"))
-            .persist()
+            .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("rep")).first()[0]
-        labels.unpersist()
-        labels = new_labels
+        new_sum = labels.agg(F.sum("rep")).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
