@@ -205,12 +205,23 @@ class CheckpointedValidation:
         # sized), not from re-running the validation DAG a second time —
         # one validation execution per partition batch.
         wall = time.time() - t0
-        done_verdicts = spark.read.parquet(self.verdicts_dir).where(
-            F.col("part_id").isin(todo)
+        # explicit schemas: a processed batch may legitimately contain zero
+        # violations (or zero rows under max_partitions), leaving a dir with
+        # no data files — schema inference would fail there
+        verdict_ddl = (
+            "source string, ord long, schema_id string, validated boolean, "
+            "status string, part_id int"
         )
-        done_viol = spark.read.parquet(self.violations_dir).where(
-            F.col("part_id").isin(todo)
+        viol_ddl = (
+            "source string, ord long, schema_id string, check_id string, "
+            "key_str string, reason string, description string, part_id int"
         )
+        done_verdicts = spark.read.schema(verdict_ddl).parquet(
+            self.verdicts_dir
+        ).where(F.col("part_id").isin(todo))
+        done_viol = spark.read.schema(viol_ddl).parquet(
+            self.violations_dir
+        ).where(F.col("part_id").isin(todo))
         stats = (
             done_verdicts.groupBy("part_id")
             .agg(F.count(F.lit(1)).alias("rows_scanned"))

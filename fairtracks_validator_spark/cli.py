@@ -60,7 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.ord_col:
         df = df.withColumn("ord", F.col(args.ord_col).cast("long"))
     else:
-        df = df.withColumn("ord", F.xxhash64(args.key_col))
+        # deterministic total order over ALL columns — hashing only the key
+        # column would give duplicate-key rows an IDENTICAL (source, ord)
+        # identity, which is precisely the rows dup detection must tell
+        # apart. Arbitrary-but-stable order; pass --ord-col for a meaningful
+        # one (ingestion timestamp, file position).
+        df = df.withColumn("ord", F.xxhash64(*[F.col(c) for c in df.columns]))
 
     cv = CheckpointedValidation(out_dir=args.out, n_partitions=args.partitions)
     summary = cv.run(

@@ -1,0 +1,55 @@
+"""spark-submit CLI entry point: resumable validate run end-to-end."""
+
+from __future__ import annotations
+
+import json
+
+from fairtracks_validator_spark.cli import main
+from fairtracks_validator_spark.sources.pages import pages
+
+
+def test_cli_validate_resumable(spark, tmp_path, capsys):
+    src = str(tmp_path / "pages.parquet")
+    pages(spark, 300).write.parquet(src)
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(json.dumps({
+        "$id": "pages/1.0",
+        "required": ["url"],
+        "primary_key": ["url"],
+        "properties": {"lang": {"enum": ["en", "de", "es", "fr",
+                                         "it", "pt", "nl", "pl"]}},
+    }))
+    out = str(tmp_path / "out")
+
+    # first run processes a slice; second run resumes the rest
+    rc1 = main(["validate", "--input", src, "--schema", str(schema_file),
+                "--out", out, "--key-col", "url", "--partitions", "8",
+                "--max-partitions", "3", "--run-id", "a"])
+    rc2 = main(["validate", "--input", src, "--schema", str(schema_file),
+                "--out", out, "--key-col", "url", "--partitions", "8",
+                "--run-id", "b"])
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+
+    # full corpus has planted violations (bad langs + dup urls) ⇒ non-zero
+    # exit once all partitions are processed; the partial first run's exit
+    # reflects only the partitions processed so far
+    assert rc1 in (0, 1) and rc2 == 1
+    run1, tot1, run2, tot2 = lines
+    assert len(run1["processed"]) == 3
+    assert set(run2["skipped"]) == set(run1["processed"])
+    assert tot2["rows"] == 300
+    assert tot2["violations"] > 0
+
+    verd = spark.read.parquet(f"{out}/verdicts")
+    assert verd.count() == 300
+    assert {r["status"] for r in verd.select("status").distinct().collect()} <= {
+        "ok", "failed"
+    }
+
+    # idempotent third run: nothing left to process
+    rc3 = main(["validate", "--input", src, "--schema", str(schema_file),
+                "--out", out, "--key-col", "url", "--run-id", "c",
+                "--partitions", "8"])
+    assert rc3 == 1  # violations still present in lineage totals
+    run3 = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert run3["processed"] == []
