@@ -508,6 +508,42 @@ def q_ks_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "click", "view", buckets=256)
 
 
+def q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) over the events stream."""
+    from fairtracks_validator_spark.operators.sessions import session_stats
+
+    return session_stats(
+        _t(spark, sf_dir, "events"), "user_id", "ts",
+        order_tiebreak="event_id", gap_seconds=1800,
+    ).orderBy("user_id", "session_id")
+
+
+# FLOOR(epoch(...)) replicates Spark's unix_timestamp second-truncation
+_SESSIONS_EVENTS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR FLOOR(epoch(ts)) - FLOOR(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+assigned AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+       COUNT(*)::BIGINT AS n_events,
+       MIN(FLOOR(epoch(ts)))::BIGINT AS start_epoch,
+       MAX(FLOOR(epoch(ts)))::BIGINT AS end_epoch,
+       (MAX(FLOOR(epoch(ts))) - MIN(FLOOR(epoch(ts))))::BIGINT AS duration_s
+FROM assigned GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
 # --------------------------------------------------- windowed aggregation
 def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (batch twin of the streaming op)."""
@@ -1018,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_per_lang_documents": q_ks_per_lang_documents,
         "chi_square_events": q_chi_square_events,
         "events_hourly_window": q_events_hourly_window,
+        "sessions_events": q_sessions_events,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "minhash_verified_dups": q_minhash_verified_dups,
@@ -1052,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_per_lang_documents": _KS_PER_LANG_SQL,
         "chi_square_events": _CHI_SQUARE_EVENTS_SQL,
         "events_hourly_window": _EVENTS_HOURLY_SQL,
+        "sessions_events": _SESSIONS_EVENTS_SQL,
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "minhash_lsh_documents": _minhash_sql(),
         "minhash_verified_dups": _minhash_verified_sql(),

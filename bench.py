@@ -32,6 +32,7 @@ HEADLINE = [
     "ks_quantile_events",
     "chi_square_events",
     "events_hourly_window",
+    "sessions_events",
     "exact_dedup_documents",
     "minhash_lsh_documents",
     # the scale path for n-gram dedup: LSH candidates -> exact Jaccard verify

@@ -1,0 +1,66 @@
+"""Sessionization: gap-based session assignment over an event stream.
+
+The classic web-analytics operator: events of one user belong to the same
+session while consecutive gaps stay under ``gap_seconds``. Spark shape: one
+window partitioned by the user key (parallel across users — the only
+ordering ever required is WITHIN a user), a lag comparison marks session
+starts, and a running sum converts marks into dense per-user session ids.
+One shuffle on the user key; no global ordering anywhere. Skewed power
+users are bounded by their own event counts (a per-user window, not a
+global one); pathological single-user floods would be pre-split upstream by
+day before sessionizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-event session assignment: adds ``session_id`` (1-based, dense per
+    user). Ties on the timestamp break deterministically via
+    ``order_tiebreak`` (e.g. an event id) — never partition order."""
+    order_cols = [F.col(ts_col)]
+    if order_tiebreak:
+        order_cols.append(F.col(order_tiebreak))
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_seconds)
+    ).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """One row per session: (user, session_id, n_events, start/end epoch
+    seconds, duration). Built on :func:`sessionize`; the aggregation rides
+    the same user-key shuffle."""
+    s = sessionize(df, user_col, ts_col, order_tiebreak, gap_seconds)
+    return (
+        s.groupBy(F.col(user_col), F.col("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_timestamp(ts_col)).alias("start_epoch"),
+            F.max(F.unix_timestamp(ts_col)).alias("end_epoch"),
+        )
+        .withColumn("duration_s", F.col("end_epoch") - F.col("start_epoch"))
+    )

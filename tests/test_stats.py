@@ -81,6 +81,29 @@ def test_ks_quantile_close_to_exact(spark):
     assert abs(exact - approx) < 0.02
 
 
+def test_sessionize(spark):
+    from fairtracks_validator_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    rows = [
+        # user 1: two sessions (gap 3600s between e2 and e3)
+        (1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:10:00"),
+        (3, 1, "2024-01-01 11:20:00"),
+        # user 2: one session, tie on ts broken by event_id
+        (4, 2, "2024-01-01 09:00:00"), (5, 2, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, user_id LONG, ts_s STRING") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    s = {(r["event_id"]): r["session_id"]
+         for r in sessionize(df, "user_id", "ts", "event_id", 1800).collect()}
+    assert s == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+    stats = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_s"])
+             for r in session_stats(df, "user_id", "ts", "event_id", 1800).collect()}
+    assert stats == {(1, 1): (2, 600), (1, 2): (1, 0), (2, 1): (2, 0)}
+
+
 def test_histogram_and_psi(spark):
     from fairtracks_validator_spark.operators.stats import histogram, psi
 
