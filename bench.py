@@ -79,10 +79,13 @@ def main():
 
     qs = entrymod.queries()
     # JVM/codegen warm-up, excluded from timing — the same methodology as
-    # scripts/bench_scaling.py; first-query walls otherwise measure Janino
-    # compilation, not the operator (documented in the metric string).
+    # scripts/bench_scaling.py: every headline query shape runs once at
+    # sf0.001 so the timed walls measure steady-state operator cost, not
+    # Janino compilation of each query's generated classes (langid's alone
+    # is ~6 s once per session).
     spark.range(100000).selectExpr("sum(id)").collect()
-    qs["validate_documents"](spark, "/root/testdata/sf0.001").collect()
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
