@@ -191,6 +191,108 @@ ORDER BY source, check_id
 """
 
 
+def q_validate_documents_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draft-07 ``format`` enforcement (date/date-time/email/hostname/ipv4/
+    ipv6) over columns derived deterministically from doc_id — the identical
+    derivation runs in DuckDB, and the identical anchored regexes run in both
+    engines (RE2-compatible by construction)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    docs = d.select(
+        did.alias("ord"),
+        did.cast("string").alias("source"),
+        F.concat(
+            F.lit("2024-"),
+            F.lpad(((did % 14) + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(((did % 33) + 1).cast("string"), 2, "0"),
+        ).alias("date_s"),
+        F.concat(
+            F.lit("2024-03-0"), ((did % 9) + 1).cast("string"),
+            F.when(did % 6 == 0, F.lit(" ")).otherwise(F.lit("T")),
+            F.lit("12:34:5"), (did % 10).cast("string"), F.lit("Z"),
+        ).alias("dt_s"),
+        F.concat(
+            F.lit("user"), did.cast("string"),
+            F.when(did % 5 == 0, F.lit("@@example.com")).otherwise(
+                F.lit("@example.com")
+            ),
+        ).alias("email_s"),
+        F.concat(
+            F.when(did % 4 == 0, F.lit("host_")).otherwise(F.lit("host-")),
+            did.cast("string"), F.lit(".example.org"),
+        ).alias("host_s"),
+        F.concat(
+            ((did * 7) % 300).cast("string"), F.lit(".10.0."),
+            (did % 256).cast("string"),
+        ).alias("ip_s"),
+        F.when(did % 3 == 0, F.lit("2001:db8:::5")).otherwise(
+            F.concat(F.lit("2001:db8::"), (did % 9999).cast("string"))
+        ).alias("ip6_s"),
+    )
+    plan = compile_schema(
+        {
+            "$id": "documents_formats/1.0",
+            "properties": {
+                "date_s": {"format": "date"},
+                "dt_s": {"format": "date-time"},
+                "email_s": {"format": "email"},
+                "host_s": {"format": "hostname"},
+                "ip_s": {"format": "ipv4"},
+                "ip6_s": {"format": "ipv6"},
+            },
+        }
+    )
+    res = validate_corpus({"documents_formats/1.0": (plan, docs)})
+    return res.violations.select("source", "check_id").orderBy("source", "check_id")
+
+
+def _validate_formats_sql() -> str:
+    from fairtracks_validator_spark.operators.checks import FORMAT_PATTERNS
+
+    def p(fmt: str) -> str:
+        return FORMAT_PATTERNS[fmt].replace("'", "''")
+
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS source,
+    '2024-' || lpad(CAST(doc_id % 14 + 1 AS VARCHAR), 2, '0') || '-'
+            || lpad(CAST(doc_id % 33 + 1 AS VARCHAR), 2, '0') AS date_s,
+    '2024-03-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+            || (CASE WHEN doc_id % 6 = 0 THEN ' ' ELSE 'T' END)
+            || '12:34:5' || CAST(doc_id % 10 AS VARCHAR) || 'Z' AS dt_s,
+    'user' || CAST(doc_id AS VARCHAR)
+            || (CASE WHEN doc_id % 5 = 0 THEN '@@example.com'
+                     ELSE '@example.com' END) AS email_s,
+    (CASE WHEN doc_id % 4 = 0 THEN 'host_' ELSE 'host-' END)
+            || CAST(doc_id AS VARCHAR) || '.example.org' AS host_s,
+    CAST((doc_id * 7) % 300 AS VARCHAR) || '.10.0.'
+            || CAST(doc_id % 256 AS VARCHAR) AS ip_s,
+    (CASE WHEN doc_id % 3 = 0 THEN '2001:db8:::5'
+          ELSE '2001:db8::' || CAST(doc_id % 9999 AS VARCHAR) END) AS ip6_s
+  FROM documents
+)
+SELECT source, 'format:date:date_s' AS check_id FROM d
+WHERE NOT regexp_matches(date_s, '{p("date")}')
+UNION ALL
+SELECT source, 'format:date-time:dt_s' FROM d
+WHERE NOT regexp_matches(dt_s, '{p("date-time")}')
+UNION ALL
+SELECT source, 'format:email:email_s' FROM d
+WHERE NOT regexp_matches(email_s, '{p("email")}')
+UNION ALL
+SELECT source, 'format:hostname:host_s' FROM d
+WHERE NOT (length(host_s) <= 253 AND regexp_matches(host_s, '{p("hostname")}'))
+UNION ALL
+SELECT source, 'format:ipv4:ip_s' FROM d
+WHERE NOT regexp_matches(ip_s, '{p("ipv4")}')
+UNION ALL
+SELECT source, 'format:ipv6:ip6_s' FROM d
+WHERE NOT regexp_matches(ip6_s, '{p("ipv6")}')
+ORDER BY source, check_id
+"""
+
+
 def q_pk_dup_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniqueness operator under heavy duplication: treat o_custkey as a PK
     of orders — every repeat order blames the customer's first order."""
@@ -1042,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_documents": q_validate_documents,
         "validate_documents_draft7": q_validate_documents_draft7,
         "validate_multischema": q_validate_multischema,
+        "validate_documents_formats": q_validate_documents_formats,
         "pk_dup_orders_custkey": q_pk_dup_orders_custkey,
         "fk_missing_events_user": q_fk_missing_events_user,
         "profile_orders": q_profile_orders,
@@ -1077,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_documents": _VALIDATE_DOCUMENTS_SQL,
         "validate_documents_draft7": _VALIDATE_DRAFT7_SQL,
         "validate_multischema": _VALIDATE_MULTISCHEMA_SQL,
+        "validate_documents_formats": _validate_formats_sql(),
         "pk_dup_orders_custkey": _PK_DUP_ORDERS_SQL,
         "fk_missing_events_user": _FK_MISSING_EVENTS_SQL,
         "profile_orders": _profile_sql("orders", ["o_custkey", "o_totalprice", "o_orderdate"]),

