@@ -130,6 +130,8 @@ def q_validate_documents_draft7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "$id": "documents_draft7/1.0",
             "$schema": "http://json-schema.org/draft-07/schema#",
             "definitions": {"nonempty": {"minLength": 10}},
+            # array-form property dependencies: a lang implies a text
+            "dependencies": {"lang": ["text"]},
             "properties": {
                 "doc_id": {"oneOf": [{"multipleOf": 2}, {"multipleOf": 3}]},
                 "n_chars": {"anyOf": [{"maximum": 150}, {"minimum": 250}]},
@@ -144,6 +146,8 @@ def q_validate_documents_draft7(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tags": {
                     "uniqueItems": True, "minItems": 2, "maxItems": 4,
                     "contains": {"pattern": "^t"},
+                    # tuple-form items: first word at least 2 chars
+                    "items": [{"minLength": 2}],
                 },
             },
         }
@@ -187,6 +191,13 @@ UNION ALL
 SELECT src_id, 'contains:tags' FROM d
 WHERE tags IS NOT NULL
   AND len(list_filter(tags, t -> regexp_matches(t, '^t'))) = 0
+UNION ALL
+SELECT src_id, 'dependencies:lang' FROM d
+WHERE lang IS NOT NULL AND text IS NULL
+UNION ALL
+SELECT src_id, 'items:tags[0]' FROM d
+WHERE tags IS NOT NULL AND len(tags) >= 1
+  AND tags[1] IS NOT NULL AND length(tags[1]) < 2
 ORDER BY source, check_id
 """
 

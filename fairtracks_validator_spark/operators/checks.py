@@ -337,6 +337,47 @@ def contains_check(jpath: str, pred) -> Check:
     )
 
 
+def tuple_item_check(jpath: str, idx: int, pred) -> Check:
+    """draft-07 tuple-form ``items``: the element at position ``idx`` (if
+    present) must satisfy the positional subschema — the reference walks
+    items[] per position (``J/ValidatedJSONSchema.java:166-173``).
+    ``pred`` is an elementwise predicate from the compiler's scalar set."""
+    if "[" in jpath:
+        raise ValueError(
+            f"tuple-form items needs the array itself, not a fan-out path: {jpath!r}"
+        )
+    arr = F.col(jpath)
+    v = F.try_element_at(arr, F.lit(idx + 1)).cast("string")
+    ok = (
+        arr.isNull()
+        | (F.size(arr) <= idx)
+        | v.isNull()
+        | F.coalesce(pred(v), F.lit(False))
+    )
+    return Check(
+        check_id=f"items:{jpath}[{idx}]",
+        ok=ok,
+        message=F.format_string(
+            f"element %s at {jpath}[{idx}] violates the positional subschema", v
+        ),
+    )
+
+
+def tuple_item_forbidden_check(jpath: str, idx: int) -> Check:
+    """tuple-form ``items`` position declared ``false``: the array must not
+    have an element at that position (draft-06+ boolean subschema)."""
+    if "[" in jpath:
+        raise ValueError(
+            f"tuple-form items needs the array itself, not a fan-out path: {jpath!r}"
+        )
+    arr = F.col(jpath)
+    return Check(
+        check_id=f"items:{jpath}[{idx}]",
+        ok=arr.isNull() | (F.size(arr) <= idx),
+        message=F.lit(f"array at {jpath} must not have an element at position {idx}"),
+    )
+
+
 def not_check(jpath: str, pred: Column) -> Check:
     return Check(
         f"not:{jpath}",
@@ -469,15 +510,25 @@ def format_regex_check(jpath: str) -> Check:
 
 
 # -------------------------------------------------- P6 additionalProperties
-def additional_properties_check(jpath: str, allowed: list[str]) -> Check:
+def additional_properties_check(
+    jpath: str, allowed: list[str], allowed_patterns: list[str] | None = None
+) -> Check:
     """``additionalProperties: false`` for open-object (MapType) encodings.
 
     Fixed-layout objects are ``StructType`` and closed at parse time (SURVEY
     P6); this check covers columns kept as ``map<string,...>``. Violation
-    when any undeclared key is present (``unique_schema.json:21``).
-    """
+    when any undeclared key is present (``unique_schema.json:21``). Keys
+    matching a ``patternProperties`` pattern are NOT additional (draft-07
+    §6.5.6), so the caller passes those patterns through."""
     m = F.col(jpath)
-    extra = F.map_filter(m, lambda k, v: ~k.isin(allowed))
+
+    def is_extra(k, v):
+        e = ~k.isin(allowed) if allowed else F.lit(True)
+        for p in allowed_patterns or []:
+            e = e & ~F.coalesce(k.rlike(p), F.lit(False))
+        return e
+
+    extra = F.map_filter(m, is_extra)
     ok = m.isNull() | (F.size(F.map_keys(extra)) == 0)
     return Check(
         check_id=f"additionalProperties:{jpath}",
@@ -486,6 +537,101 @@ def additional_properties_check(jpath: str, allowed: list[str]) -> Check:
             "extraneous key %s is not permitted",
             F.try_element_at(F.map_keys(extra), F.lit(1)),
         ),
+    )
+
+
+# ------------------------------------- draft-07 object-shape keywords (maps)
+# everit enforces these for any object (draft-07 meta-schema); here they
+# apply to the open-object (MapType) encoding — fixed-layout objects are
+# StructType and these shapes are decided at parse time.
+def min_properties_check(jpath: str, n: int) -> Check:
+    m = F.col(jpath)
+    return Check(
+        f"minProperties:{jpath}",
+        m.isNull() | (F.size(m) >= int(n)),
+        F.format_string(f"object with %s properties has fewer than {n}", F.size(m)),
+    )
+
+
+def max_properties_check(jpath: str, n: int) -> Check:
+    m = F.col(jpath)
+    return Check(
+        f"maxProperties:{jpath}",
+        m.isNull() | (F.size(m) <= int(n)),
+        F.format_string(f"object with %s properties has more than {n}", F.size(m)),
+    )
+
+
+def property_names_check(jpath: str, pred) -> Check:
+    """draft-07 ``propertyNames``: every key satisfies the (scalar) subschema."""
+    m = F.col(jpath)
+    keys = F.map_keys(m)
+    ok = m.isNull() | F.forall(keys, lambda k: F.coalesce(pred(k), F.lit(False)))
+    bad = F.try_element_at(
+        F.filter(keys, lambda k: ~F.coalesce(pred(k), F.lit(False))), F.lit(1)
+    )
+    return Check(
+        f"propertyNames:{jpath}",
+        ok,
+        F.format_string("property name %s violates propertyNames", bad),
+    )
+
+
+def pattern_properties_check(jpath: str, pattern: str, pred) -> Check:
+    """draft-07 ``patternProperties``: values of keys matching ``pattern``
+    (find semantics, like ``pattern``) satisfy the (scalar) subschema."""
+    m = F.col(jpath)
+    ents = F.map_entries(m)
+
+    def key_match(e):
+        return F.coalesce(e.getField("key").rlike(pattern), F.lit(False))
+
+    def val_ok(e):
+        return F.coalesce(pred(e.getField("value").cast("string")), F.lit(False))
+
+    ok = m.isNull() | F.forall(ents, lambda e: ~key_match(e) | val_ok(e))
+    bad = F.try_element_at(
+        F.filter(ents, lambda e: key_match(e) & ~val_ok(e)), F.lit(1)
+    )
+    return Check(
+        f"patternProperties:{jpath}:{pattern}",
+        ok,
+        F.format_string(
+            f"value %s of key %s fails the patternProperties subschema for {pattern}",
+            bad.getField("value").cast("string"),
+            bad.getField("key"),
+        ),
+    )
+
+
+def map_dependencies_check(jpath: str, prop: str, deps: list[str]) -> Check:
+    """draft-07 property ``dependencies`` (array form) on a map column:
+    if key ``prop`` is present, all of ``deps`` must be present."""
+    m = F.col(jpath)
+
+    def has(k: str):
+        return F.coalesce(F.map_contains_key(m, F.lit(k)), F.lit(False))
+
+    need = F.lit(True)
+    for d in deps:
+        need = need & has(d)
+    return Check(
+        f"dependencies:{jpath}.{prop}",
+        m.isNull() | ~has(prop) | need,
+        F.lit(f"key {prop} at {jpath} requires keys {', '.join(deps)}"),
+    )
+
+
+def presence_dependency_check(jpath: str, dep_jpaths: list[str]) -> Check:
+    """Property ``dependencies`` (array form) over struct/flat columns: if a
+    value exists at ``jpath``, values must exist at every dependent path."""
+    need = F.lit(True)
+    for d in dep_jpaths:
+        need = need & presence(d)
+    return Check(
+        f"dependencies:{jpath}",
+        ~presence(jpath) | need,
+        F.lit(f"property {jpath} requires properties {', '.join(dep_jpaths)}"),
     )
 
 

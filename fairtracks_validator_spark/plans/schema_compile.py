@@ -26,6 +26,7 @@ import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators import checks as C
 
@@ -211,10 +212,32 @@ def _meta_walk(node, where: str, errs: list[str], depth: int = 0) -> None:
     nt = node.get("not")
     if nt is not None:
         _meta_walk(nt, f"{where}/not", errs, depth + 1)
-    for cond_kw in ("if", "then", "else", "contains"):
+    for cond_kw in ("if", "then", "else", "contains", "propertyNames"):
         v = node.get(cond_kw)
         if v is not None:
             _meta_walk(v, f"{where}/{cond_kw}", errs, depth + 1)
+    pp = node.get("patternProperties")
+    if pp is not None:
+        if not isinstance(pp, dict):
+            bad("patternProperties", "must be an object")
+        else:
+            for k, s in pp.items():
+                try:
+                    re.compile(k)
+                except re.error as exc:
+                    bad("patternProperties", f"invalid key regex {k!r}: {exc}")
+                _meta_walk(s, f"{where}/patternProperties/{k}", errs, depth + 1)
+    dp = node.get("dependencies")
+    if dp is not None:
+        if not isinstance(dp, dict):
+            bad("dependencies", "must be an object")
+        else:
+            for k, v in dp.items():
+                if isinstance(v, list):
+                    if not all(isinstance(x, str) for x in v):
+                        bad("dependencies", f"{k}: array form must contain strings")
+                else:
+                    _meta_walk(v, f"{where}/dependencies/{k}", errs, depth + 1)
 
 
 def compile_schema(
@@ -263,7 +286,8 @@ _HANDLED_KEYWORDS = {
     "maximum", "exclusiveMinimum", "exclusiveMaximum", "minLength",
     "maxLength", "minItems", "maxItems", "uniqueItems", "properties",
     "items", "required", "additionalProperties", "anyOf", "oneOf", "allOf",
-    "not", "if", "then", "else", "contains",
+    "not", "if", "then", "else", "contains", "patternProperties",
+    "propertyNames", "dependencies", "minProperties", "maxProperties",
     # fairtracks extension keywords (root README.md:9-81)
     "unique", "primary_key", "foreign_keys", "foreignProperty", "namespace",
     "matchType", "ontology", "ancestors", "x-encoding",
@@ -347,8 +371,36 @@ def _walk(
         return
     # array wrapper: descend into items, extending the path with []
     if isinstance(schema.get("items"), list):
-        _warn(plan, f"tuple-form 'items' at {prefix or '#'} is not compiled — "
-                    "per-position constraints not enforced")
+        # draft-07 tuple form: per-position subschemas, matching the
+        # reference's items[] walk (J/ValidatedJSONSchema.java:166-173).
+        # Scalar constraints fold to element_at predicates; dict subschemas
+        # are additionally walked at "[i]" paths for nested FK discovery.
+        if not prefix or "[" in prefix:
+            _warn(plan, f"tuple-form 'items' at {prefix or '#'} needs a "
+                        "non-fan-out array path — not enforced")
+            return
+        for i, s in enumerate(schema["items"]):
+            if isinstance(s, dict):
+                s = _deref(plan, root, s)
+            if s is False:
+                plan.checks.append(C.tuple_item_forbidden_check(prefix, i))
+                continue
+            if s is True or s == {}:
+                continue
+            # keywords the recursive walk below handles at the [i] path
+            walk_kws = {"properties", "required", "items", "foreign_keys",
+                        "unique", "primary_key", "foreignProperty",
+                        "dependencies", "x-encoding"}
+            scalar_part = {k: v for k, v in s.items() if k not in walk_kws}
+            pred = _element_pred(scalar_part) if scalar_part else None
+            if scalar_part and pred is None:
+                _warn(plan, f"items[{i}] at {prefix} uses keywords beyond "
+                            "the scalar set — position not enforced")
+            elif pred is not None:
+                plan.checks.append(C.tuple_item_check(prefix, i, pred))
+            _walk(plan, s, prefix=f"{prefix}[{i}]", dims=dims, root=root,
+                  depth=depth + 1)
+        return
     elif isinstance(schema.get("items"), dict):
         schema = _deref(plan, root, schema["items"])
         if prefix:
@@ -385,6 +437,23 @@ def _walk(
     for r in schema.get("required", []) or []:
         plan.checks.append(C.required_check(f"{dotted}{r}"))
 
+    # property dependencies (array form) over struct/flat columns; map-encoded
+    # objects compile theirs in _compile_property (map_dependencies_check)
+    deps = schema.get("dependencies")
+    if isinstance(deps, dict) and schema.get("x-encoding") != "map":
+        for dprop, req in sorted(deps.items()):
+            if (isinstance(req, list) and req
+                    and all(isinstance(x, str) for x in req)):
+                plan.checks.append(
+                    C.presence_dependency_check(
+                        f"{dotted}{dprop}", [f"{dotted}{r}" for r in req]
+                    )
+                )
+            else:
+                _warn(plan, f"dependencies[{dprop!r}] at {prefix or '#'}: only "
+                            "the array-of-property-names form is supported — "
+                            "not enforced")
+
     for name, sub in props.items():
         if not isinstance(sub, dict):
             continue
@@ -419,8 +488,6 @@ def _element_pred(sub: dict):
     """Elementwise boolean predicate (Column → Column) for a SCALAR
     subschema — the building block of ``contains``. Returns None when the
     subschema uses keywords this form can't express."""
-    from pyspark.sql import functions as F
-
     scalar_kws = {"const", "enum", "pattern", "type", "minimum", "maximum",
                   "minLength", "maxLength", "multipleOf"}
     meta_kws = {"title", "description", "$comment", "examples", "default"}
@@ -525,30 +592,40 @@ def _compile_property(
     ):
         subs = sub.get(kw)
         if isinstance(subs, list) and subs:
+            # boolean subschemas are valid draft-06+ schemas: true ⇒ always
+            # matches, false ⇒ never matches (ADVICE r2 — silently dropping
+            # them inverted oneOf counts)
             preds = [
-                _subschema_pred(plan, path, s, dims, root, depth + 1)
+                F.lit(s) if isinstance(s, bool)
+                else _subschema_pred(plan, path, s, dims, root, depth + 1)
                 for s in subs
-                if isinstance(s, (dict,))
+                if isinstance(s, (bool, dict))
             ]
             if preds:
                 plan.checks.append(builder(path, preds))
-    if isinstance(sub.get("not"), dict):
+    nt = sub.get("not")
+    if isinstance(nt, bool):
+        plan.checks.append(C.not_check(path, F.lit(nt)))
+    elif isinstance(nt, dict):
         plan.checks.append(
-            C.not_check(path, _subschema_pred(plan, path, sub["not"], dims, root, depth + 1))
+            C.not_check(path, _subschema_pred(plan, path, nt, dims, root, depth + 1))
         )
-    if isinstance(sub.get("if"), dict):
-        from pyspark.sql import functions as F
+    if isinstance(sub.get("if"), (dict, bool)):
+        def _cond_pred(x):
+            if isinstance(x, bool):
+                return F.lit(x)
+            if isinstance(x, dict):
+                return _subschema_pred(plan, path, x, dims, root, depth + 1)
+            return F.lit(True)  # absent branch is vacuous
 
-        if_p = _subschema_pred(plan, path, sub["if"], dims, root, depth + 1)
-        then_p = (
-            _subschema_pred(plan, path, sub["then"], dims, root, depth + 1)
-            if isinstance(sub.get("then"), dict) else F.lit(True)
+        plan.checks.append(
+            C.if_then_else_check(
+                path,
+                _cond_pred(sub["if"]),
+                _cond_pred(sub.get("then")),
+                _cond_pred(sub.get("else")),
+            )
         )
-        else_p = (
-            _subschema_pred(plan, path, sub["else"], dims, root, depth + 1)
-            if isinstance(sub.get("else"), dict) else F.lit(True)
-        )
-        plan.checks.append(C.if_then_else_check(path, if_p, then_p, else_p))
 
     # contains: elementwise predicate over an array column — supported for
     # scalar subschemas (const/enum/pattern/type/bounds/lengths)
@@ -563,13 +640,64 @@ def _compile_property(
             except ValueError as e:
                 _warn(plan, str(e))
 
-    # additionalProperties: false on an open-object (map-encoded) property.
+    # object-shape keywords on an open-object (map-encoded) property.
     # Fixed-layout objects are StructType — closed at parse (SURVEY P6); the
-    # runtime check only applies when the column is kept as a map, which the
+    # runtime checks only apply when the column is kept as a map, which the
     # schema marks explicitly (encoding is a relational-mapping concern).
-    if sub.get("additionalProperties") is False and sub.get("x-encoding") == "map":
-        allowed = list((sub.get("properties") or {}).keys())
-        plan.checks.append(C.additional_properties_check(path, allowed))
+    if sub.get("x-encoding") == "map":
+        if sub.get("additionalProperties") is False:
+            allowed = list((sub.get("properties") or {}).keys())
+            pats = [
+                p for p in (sub.get("patternProperties") or {})
+                if isinstance(p, str)
+            ]
+            plan.checks.append(
+                C.additional_properties_check(path, allowed, pats)
+            )
+        if "minProperties" in sub:
+            plan.checks.append(C.min_properties_check(path, sub["minProperties"]))
+        if "maxProperties" in sub:
+            plan.checks.append(C.max_properties_check(path, sub["maxProperties"]))
+        pn = sub.get("propertyNames")
+        if isinstance(pn, dict):
+            pred = _element_pred(pn)
+            if pred is None:
+                _warn(plan, f"propertyNames at {path} uses keywords beyond "
+                            "the scalar set — not enforced")
+            else:
+                plan.checks.append(C.property_names_check(path, pred))
+        pp = sub.get("patternProperties")
+        if isinstance(pp, dict):
+            for pat, ps in sorted(pp.items()):
+                if isinstance(ps, bool):
+                    pred = (lambda b: lambda v: F.lit(b))(ps)
+                else:
+                    pred = _element_pred(ps) if isinstance(ps, dict) else None
+                if pred is None:
+                    _warn(plan, f"patternProperties[{pat!r}] at {path} uses "
+                                "keywords beyond the scalar set — not enforced")
+                else:
+                    plan.checks.append(
+                        C.pattern_properties_check(path, pat, pred)
+                    )
+        deps = sub.get("dependencies")
+        if isinstance(deps, dict):
+            for prop, req in sorted(deps.items()):
+                if (isinstance(req, list) and req
+                        and all(isinstance(x, str) for x in req)):
+                    plan.checks.append(
+                        C.map_dependencies_check(path, prop, req)
+                    )
+                else:
+                    _warn(plan, f"dependencies[{prop!r}] at {path}: only the "
+                                "array-of-property-names form is supported — "
+                                "not enforced")
+    else:
+        for kw in ("patternProperties", "propertyNames",
+                   "minProperties", "maxProperties"):
+            if kw in sub:
+                _warn(plan, f"{kw} at {path} is only enforced for map-encoded "
+                            "objects (x-encoding: map) — not enforced here")
 
     fmt = sub.get("format")
     if fmt == "uri":
