@@ -679,14 +679,21 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # --------------------------------------------------------------------- dedup
-def _docs_with_clones(spark: SparkSession, sf_dir: str, suffix: str = "") -> DataFrame:
-    """documents ∪ clones of doc_id<20 (id+1000000), optionally perturbed."""
+def _docs_with_clones(
+    spark: SparkSession, sf_dir: str, suffix: str = "", par: bool = True
+) -> DataFrame:
+    """documents ∪ clones of doc_id<20 (id+1000000), optionally perturbed.
+
+    ``par=True`` round-robins the narrow input across all cores — worth it
+    for md5/shingle/HOF-heavy kernels, a net loss for the cheap exact-dedup
+    digest (VERDICT r2 regression), so that caller opts out."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     clones = docs.where(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         (F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")).alias("text"),
     )
-    return _par(docs.unionByName(clones))
+    out = docs.unionByName(clones)
+    return _par(out) if par else out
 
 
 _DOCS_CLONES_SQL = """
@@ -698,7 +705,9 @@ _DOCS_CLONES_SQL = """
 
 
 def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_duplicates(_docs_with_clones(spark, sf_dir), "doc_id", "text")
+    return exact_duplicates(
+        _docs_with_clones(spark, sf_dir, par=False), "doc_id", "text"
+    )
 
 
 _EXACT_DEDUP_SQL = f"""

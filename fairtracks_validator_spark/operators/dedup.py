@@ -449,10 +449,19 @@ def verify_jaccard(
             i / (F.size("sh_a") + F.size("sh_b") - i), 6
         ),
     )
-    return (
+    out = (
         both.select("id_a", "id_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+        # verified pairs are output-sized: materialize them eagerly so the
+        # scratch persists below can be RELEASED before returning — a
+        # long-lived 100-TB session must not accumulate cached relations
+        # (ADVICE r2). localCheckpoint also truncates lineage for iterative
+        # consumers (dedup_components).
+        .localCheckpoint()
     )
+    pairs.unpersist()
+    cand_sets.unpersist()
+    return out
 
 
 def dedup_components(
@@ -545,7 +554,18 @@ def embedding_neardup_pairs(
     v = v.withColumn("norm", norm).where(F.col("norm") > 0)
 
     if block_planes > 0:
-        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None or probe["d"] is None or probe["d"] <= 0:
+            # empty input (or null first vector): no pairs, don't crash on
+            # the dimension probe (ADVICE r2)
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = probe["d"]
+        # vectors whose length differs from the probed dimension have no
+        # well-defined cosine against the rest (zip_with would null-pad and
+        # hash them all to block bit 0) — exclude them explicitly
+        v = v.where(F.size("vec") == dim)
         key = _sign_lsh_key(F.col("vec"), block_planes, dim)
         v = v.withColumn("block", key)
         l, r = v.alias("l"), v.alias("r")

@@ -243,7 +243,10 @@ def chi_square(
     else:
         cells = base.groupBy("b", "g").agg(F.count(F.lit(1)).alias("o"))
 
-    cells = cells.cache()
+    # eager localCheckpoint, not cache: cells is ≤ |buckets|×|groups| rows and
+    # feeds four plan branches — checkpointing computes it once and leaves
+    # nothing cached behind after the call (cache-lifecycle leak, ADVICE r2)
+    cells = cells.localCheckpoint()
     row_tot = cells.groupBy("b").agg(F.sum("o").alias("row_n"))
     col_tot = cells.groupBy("g").agg(F.sum("o").alias("col_n"))
     n = cells.agg(F.sum("o").alias("n"))

@@ -291,3 +291,20 @@ def test_multimodal_resize_plumbing(spark):
     assert bytes(out[1]["payload"]) == bytes(again[1]["payload"])
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         resize_image_batch(df, 4, 4).collect()
+
+
+def test_embedding_neardup_empty_and_ragged(spark):
+    """Empty input returns an empty pair frame instead of crashing on the
+    dimension probe; off-length vectors are excluded from the blocked path
+    (ADVICE r2)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs(empty, "vec_id", "embedding", threshold=0.9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cosine"]
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_neardup_pairs(ragged, "vec_id", "embedding", threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
