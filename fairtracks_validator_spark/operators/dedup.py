@@ -467,21 +467,33 @@ def verify_jaccard(
 def dedup_components(
     pairs_df: DataFrame,
     max_iter: int = 20,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over duplicate pairs → ``(id, cluster_rep)``
     with ``cluster_rep`` = the smallest id in the component (the canonical
     keeper; everything else is droppable).
 
-    Min-label propagation over the symmetrized edge set: each round every
-    node adopts the minimum label in its closed neighborhood; stop when a
-    round changes nothing. Each round is one join + one aggregation (two
-    shuffles) over the PAIR set — which is output-sized after LSH+verify,
-    not corpus-sized. Rounds needed = the longest shortest-path to a
-    component's minimum; near-dup components are short chains in practice
-    (the classic large-star/small-star variant trades per-round cost for
-    O(log n) rounds if monster components ever appear — ``max_iter`` makes
-    the cap explicit rather than silent).
+    ``algorithm``:
+
+    - ``"minlabel"`` — one-hop min-label propagation; rounds = the longest
+      propagation distance to a component's minimum. Cheapest per round;
+      right for the short near-dup blobs LSH+verify produces. RAISES if the
+      fixpoint is not reached within ``max_iter`` (a silent exit would split
+      long chains into wrong clusters — ADVICE r2).
+    - ``"star"`` — alternating large-star/small-star rounds (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond"), O(log n) rounds on
+      ANY component shape; the monster-component path.
+    - ``"auto"`` (default) — minlabel first; on non-convergence within
+      ``max_iter``, warn and finish with the star variant instead of
+      returning split clusters.
+
+    Every round is a bounded number of shuffles over the PAIR set — which is
+    output-sized after LSH+verify, not corpus-sized. ``localCheckpoint`` per
+    round truncates iterative lineage (nested plans otherwise overflow the
+    planner).
     """
+    if algorithm == "star":
+        return _components_star(pairs_df)
     edges = (
         pairs_df.select(F.col("id_a").cast("long").alias("src"),
                         F.col("id_b").cast("long").alias("dst"))
@@ -492,10 +504,6 @@ def dedup_components(
         .distinct()
         .persist()
     )
-    # localCheckpoint (not persist): iterative lineage otherwise NESTS the
-    # entire history into every round's plan — exponential plan strings,
-    # eventual planner stack overflow. Truncating per round keeps each
-    # round's plan constant-size; the checkpointed relation is pair-sized.
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("rep", F.col("id"))
@@ -504,6 +512,7 @@ def dedup_components(
     # convergence probe: min-propagation strictly DECREASES the label sum
     # until the fixpoint, so one cheap sum per round replaces a join+count.
     prev_sum = labels.agg(F.sum("rep")).first()[0]
+    converged = False
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -518,10 +527,98 @@ def dedup_components(
         )
         new_sum = labels.agg(F.sum("rep")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        if algorithm == "auto":
+            import warnings
+
+            warnings.warn(
+                f"dedup_components: min-label did not converge in {max_iter} "
+                "rounds (component propagation distance exceeds it) — "
+                "finishing with the O(log n) large-star/small-star variant"
+            )
+            return _components_star(pairs_df)
+        raise RuntimeError(
+            f"dedup_components(algorithm='minlabel') did not converge within "
+            f"max_iter={max_iter} rounds; clusters would be split. Raise "
+            "max_iter or use algorithm='star'."
+        )
     return labels.select("id", F.col("rep").alias("cluster_rep"))
+
+
+def _components_star(pairs_df: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Alternating large-star/small-star connected components — O(log n)
+    rounds on any component shape (long chains included), each round a
+    constant number of pair-set-sized shuffles.
+
+    large-star(u): every neighbor v > u re-attaches to m = min(N(u) ∪ {u});
+    small-star(u): every neighbor v < u (and u itself) re-attaches to
+    m = min of that down-neighborhood. The edge multiset reaches a fixpoint
+    exactly when every component is a rooted star at its minimum id.
+    """
+    e = (
+        pairs_df.select(F.col("id_a").cast("long").alias("src"),
+                        F.col("id_b").cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def sym(edges: DataFrame) -> DataFrame:
+        return edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def checksum(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: long-sum of 64-bit hashes overflows under ANSI
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = checksum(e)
+    for round_no in range(max_iter):
+        s = sym(e)
+        # large-star: m = min over closed neighborhood; (v, m) for v > u
+        m = s.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        e = (
+            s.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star over down-neighborhoods: (v, m) for v ≤ u plus (u, m)
+        s = sym(e)
+        down = s.where(F.col("dst") < F.col("src"))
+        md = down.groupBy("src").agg(F.min("dst").alias("m"))
+        e = (
+            down.join(md, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(md.select("src", F.col("m").alias("dst")))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"_components_star did not converge within {max_iter} rounds"
+        )
+    # fixpoint ⇒ rooted stars: every node's rep = min(self, neighbors)
+    return (
+        sym(e).groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_rep"))
+    )
 
 
 # ------------------------------------------------------- embedding near-dup
