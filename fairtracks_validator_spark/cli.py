@@ -60,12 +60,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.ord_col:
         df = df.withColumn("ord", F.col(args.ord_col).cast("long"))
     else:
-        # deterministic total order over ALL columns — hashing only the key
-        # column would give duplicate-key rows an IDENTICAL (source, ord)
-        # identity, which is precisely the rows dup detection must tell
-        # apart. Arbitrary-but-stable order; pass --ord-col for a meaningful
-        # one (ingestion timestamp, file position).
-        df = df.withColumn("ord", F.xxhash64(*[F.col(c) for c in df.columns]))
+        # deterministic POSITIONAL total order (file path, then physical
+        # position within file) via the same machinery as the JSON catalog.
+        # Hash-derived ords are wrong twice over (ADVICE r2): fully-identical
+        # duplicate rows — the most common duplicate shape — collapse to one
+        # (source, ord) identity that dup detection cannot tell apart, and
+        # 64-bit content hashes reintroduce birthday-collision identity
+        # merging at 10^12 rows. Pass --ord-col for a domain-meaningful
+        # order (ingestion timestamp, sequence number).
+        from .sources.catalog import _stamp_ord
+
+        df = (
+            df.withColumn("_file", F.col("_metadata.file_path"))
+            .withColumn("_bstart", F.col("_metadata.file_block_start"))
+            .withColumn("_mono", F.monotonically_increasing_id())
+        )
+        df = _stamp_ord(df, file_col="_file").drop("_file")
 
     cv = CheckpointedValidation(out_dir=args.out, n_partitions=args.partitions)
     summary = cv.run(

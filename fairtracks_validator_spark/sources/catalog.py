@@ -118,7 +118,7 @@ def read_json_corpus(
     return _stamp_ord(df)
 
 
-def _stamp_ord(df: DataFrame) -> DataFrame:
+def _stamp_ord(df: DataFrame, file_col: str = "source") -> DataFrame:
     """Deterministic dense ``ord`` = directory-walk order (file path
     lexicographic, then position within file) with NO global window.
 
@@ -129,23 +129,27 @@ def _stamp_ord(df: DataFrame) -> DataFrame:
     (parallel across files; ties broken by physical position, so JSON-lines
     corpora get a stable order too — ADVICE r1). The old form ranked the
     whole corpus through one single-partition window.
+
+    ``file_col`` names the column holding the originating file path
+    (``source`` for the JSON catalog; the CLI passes a scratch ``_file``
+    column when ``source`` is a document key instead).
     """
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("_n")).collect()
+    counts = df.groupBy(file_col).agg(F.count(F.lit(1)).alias("_n")).collect()
     acc = 0
     offsets = []
-    for r in sorted(counts, key=lambda r: r["source"]):
-        offsets.append((r["source"], acc))
+    for r in sorted(counts, key=lambda r: r[file_col]):
+        offsets.append((r[file_col], acc))
         acc += r["_n"]
     if not offsets:
         return df.withColumn("ord", F.lit(None).cast("long")).drop("_bstart", "_mono")
-    off_df = spark.createDataFrame(offsets, "source string, _off long")
+    off_df = spark.createDataFrame(offsets, f"{file_col} string, _off long")
 
-    w = Window.partitionBy("source").orderBy("_bstart", "_mono")
+    w = Window.partitionBy(file_col).orderBy("_bstart", "_mono")
     return (
-        df.join(F.broadcast(off_df), "source")
+        df.join(F.broadcast(off_df), file_col)
         .withColumn("ord", (F.col("_off") + F.row_number().over(w)).cast("long"))
         .drop("_bstart", "_mono", "_off")
     )

@@ -53,3 +53,31 @@ def test_cli_validate_resumable(spark, tmp_path, capsys):
     assert rc3 == 1  # violations still present in lineage totals
     run3 = json.loads(capsys.readouterr().out.strip().splitlines()[0])
     assert run3["processed"] == []
+
+
+def test_cli_default_ord_distinguishes_identical_dup_rows(spark, tmp_path, capsys):
+    """Fully-identical duplicate rows (the most common dup shape) must get
+    DISTINCT (source, ord) identities under the default positional ord — a
+    content-hash ord collapsed them and the registry dup check went blind
+    (ADVICE r2)."""
+    import pandas as pd
+
+    src = str(tmp_path / "pages.parquet")
+    pd.DataFrame(
+        {"url": ["u1", "u1", "u2"], "lang": ["en", "en", "en"]}
+    ).to_parquet(src)
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(json.dumps({
+        "$id": "pages/1.0", "primary_key": ["url"],
+        "properties": {"lang": {"enum": ["en"]}},
+    }))
+    out = str(tmp_path / "out")
+    rc = main(["validate", "--input", src, "--schema", str(schema_file),
+               "--out", out, "--key-col", "url", "--partitions", "2",
+               "--run-id", "a"])
+    capsys.readouterr()
+    assert rc == 1
+    viol = spark.read.parquet(f"{out}/violations")
+    dup = viol.where(viol.check_id == "pk").collect()
+    # exactly one of the two identical u1 rows is blamed as the duplicate
+    assert len(dup) == 1 and dup[0]["source"] == "u1"
