@@ -1014,56 +1014,96 @@ ORDER BY id_a, id_b
 
 
 def q_ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN — approximate vs exact ANN by design, but the PIPELINE is
-    deterministic (first-16 centroids, cosine argmax assignment, top-4
-    probe), so DuckDB replicates it exactly: full value oracle."""
+    """IVF ANN over a seeded-k-means codebook — approximate vs exact ANN by
+    design, but the PIPELINE is deterministic (stride sample → rank-spaced
+    init → 2 Lloyd rounds with 6dp-rounded means → cosine argmax assignment
+    → top-4 probe), so DuckDB replicates it step for step: full value
+    oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_topk(emb, "vec_id", "embedding", qv, k=10, n_clusters=16,
                     n_probe=4, exclude_id=0)
 
 
-_IVF_ANN_SQL = """
-WITH q AS (
-  SELECT embedding AS qv,
-         sqrt(list_sum([ x::DOUBLE * x::DOUBLE for x in embedding ])) AS qn
-  FROM embeddings WHERE vec_id = 0
-),
-v AS (
+def _ivf_ann_sql(k: int = 16, iters: int = 2, max_sample: int = 100_000,
+                 n_probe: int = 4, topk: int = 10) -> str:
+    """DuckDB replica of kmeans_fit (stride sample, rank-spaced init, Lloyd
+    rounds with round(avg, 6) updates, empty clusters keep their centroid)
+    + the IVF probe/score tail."""
+    dot = ("list_sum([ {a}[j+1]::DOUBLE * {b}[j+1]::DOUBLE "
+           "for j in range(0, len({a})) ])")
+    nrm = "sqrt(list_sum([ x::DOUBLE * x::DOUBLE for x in {a} ]))"
+    parts = [f"""
+WITH v AS (
   SELECT vec_id AS id, embedding AS vec,
-         sqrt(list_sum([ x::DOUBLE * x::DOUBLE for x in embedding ])) AS vn
+         {nrm.format(a='embedding')} AS vn
   FROM embeddings
 ),
-cent AS (
-  SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, vec AS cvec, vn AS cn
-  FROM v ORDER BY id LIMIT 16
+par AS (SELECT greatest(1, count(*) // {max_sample}) AS stride FROM v),
+samp AS (
+  SELECT *, row_number() OVER (ORDER BY id) AS rn FROM (
+    SELECT v.* FROM v, par WHERE v.id % par.stride = 0
+  )
 ),
-sims AS (
-  SELECT v.id, v.vec, v.vn, cent.cidx,
-         list_sum([ v.vec[i+1]::DOUBLE * cent.cvec[i+1]::DOUBLE
-                    for i in range(0, len(v.vec)) ]) / (v.vn * cent.cn) AS cs
-  FROM v CROSS JOIN cent
+msz AS (SELECT greatest(1, count(*) // {k}) AS step FROM samp),
+c0 AS (
+  SELECT CAST((rn - 1) // step AS INT) AS cidx, vec AS cvec
+  FROM samp, msz
+  WHERE (rn - 1) % step = 0 AND (rn - 1) // step < {k}
+)"""]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f""",
+cn{i} AS (SELECT cidx, cvec, {nrm.format(a='cvec')} AS cn FROM {prev}),
+asg{i} AS (
+  SELECT id, vec, cidx FROM (
+    SELECT s.id, s.vec, c.cidx,
+           row_number() OVER (PARTITION BY s.id ORDER BY
+             {dot.format(a='s.vec', b='c.cvec')} / (s.vn * c.cn) DESC,
+             c.cidx ASC) AS rn2
+    FROM samp s CROSS JOIN cn{i} c
+  ) WHERE rn2 = 1
 ),
-assign AS (
-  SELECT id, vec, vn, cidx,
-         row_number() OVER (PARTITION BY id ORDER BY cs DESC, cidx ASC) AS rn
-  FROM sims
+upd{i} AS (
+  SELECT cidx, list(mv ORDER BY pos) AS cvec
+  FROM (
+    SELECT a.cidx, u.pos AS pos, round(avg(a.vec[u.pos + 1]), 6) AS mv
+    FROM asg{i} a, unnest(range(0, len(a.vec))) AS u(pos)
+    GROUP BY a.cidx, u.pos
+  ) GROUP BY cidx
+),
+c{i} AS (
+  SELECT p.cidx, coalesce(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN upd{i} u ON u.cidx = p.cidx
+)""")
+    parts.append(f""",
+cent AS (SELECT cidx, cvec, {nrm.format(a='cvec')} AS cn FROM c{iters}),
+q AS (
+  SELECT embedding AS qv, {nrm.format(a='embedding')} AS qn
+  FROM embeddings WHERE vec_id = 0
+),
+fin AS (
+  SELECT id, vec, vn, cidx FROM (
+    SELECT v.id, v.vec, v.vn, cent.cidx,
+           row_number() OVER (PARTITION BY v.id ORDER BY
+             {dot.format(a='v.vec', b='cent.cvec')} / (v.vn * cent.cn) DESC,
+             cent.cidx ASC) AS rn
+    FROM v CROSS JOIN cent
+  ) WHERE rn = 1
 ),
 probe AS (
-  SELECT cent.cidx
-  FROM cent, q
-  ORDER BY list_sum([ cent.cvec[i+1]::DOUBLE * q.qv[i+1]::DOUBLE
-                      for i in range(0, len(q.qv)) ]) / (cent.cn * q.qn) DESC,
+  SELECT cent.cidx FROM cent, q
+  ORDER BY {dot.format(a='cent.cvec', b='q.qv')} / (cent.cn * q.qn) DESC,
            cent.cidx ASC
-  LIMIT 4
+  LIMIT {n_probe}
 )
 SELECT a.id::BIGINT AS id,
-       ROUND(list_sum([ a.vec[i+1]::DOUBLE * q.qv[i+1]::DOUBLE
-                        for i in range(0, len(q.qv)) ]) / (a.vn * q.qn), 6) AS score
-FROM assign a, q
-WHERE a.rn = 1 AND a.cidx IN (SELECT cidx FROM probe) AND a.id <> 0
-ORDER BY score DESC, id ASC LIMIT 10
-"""
+       ROUND({dot.format(a='a.vec', b='q.qv')} / (a.vn * q.qn), 6) AS score
+FROM fin a, q
+WHERE a.cidx IN (SELECT cidx FROM probe) AND a.id <> 0
+ORDER BY score DESC, id ASC LIMIT {topk}
+""")
+    return "".join(parts)
 
 
 # ------------------------------------------------------------------ text ops
@@ -1223,7 +1263,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "cosine_topk_embeddings": _COSINE_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
-        "ivf_ann_embeddings": _IVF_ANN_SQL,
+        "ivf_ann_embeddings": _ivf_ann_sql(),
         "langid_documents": _langid_sql(),
         "quality_documents": _QUALITY_SQL,
         "token_counts_documents": _TOKEN_COUNTS_SQL,

@@ -366,3 +366,37 @@ def test_components_star_matches_minlabel(spark):
     a = {(r["id"], r["cluster_rep"]) for r in dedup_components(pairs).collect()}
     b = {(r["id"], r["cluster_rep"]) for r in _components_star(pairs).collect()}
     assert a == b
+
+
+def test_kmeans_codebook_deterministic_and_recall(spark):
+    """Seeded k-means codebooks (VERDICT r2 #2): rerunning training yields
+    the identical codebook, and IVF recall@10 vs exact cosine_topk at
+    sf0.01 meets the >=0.9 bar with n_probe=4/16."""
+    from fairtracks_validator_spark.operators.similarity import kmeans_fit
+
+    emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    c1 = kmeans_fit(emb01, "vec_id", "embedding", k=16, iters=2)
+    c2 = kmeans_fit(emb01, "vec_id", "embedding", k=16, iters=2)
+    assert c1 == c2  # 6dp-rounded Lloyd means quench float drift
+    assert len(c1) == 16 and all(len(v) == 64 for _, v in c1)
+    # codebook actually moved off the init rows (training did something)
+    init_ids = {r["vec_id"] for r in emb01.orderBy("vec_id").limit(16).collect()}
+    raw = {tuple(r["embedding"]) for r in emb01.collect()}
+    assert any(tuple(v) not in raw for _, v in c1)
+
+    query = list(
+        emb01.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    )
+    exact_ids = [
+        r["id"] for r in cosine_topk(
+            emb01, "vec_id", "embedding", query, k=10, exclude_id=0
+        ).collect()
+    ]
+    approx_ids = [
+        r["id"] for r in ivf_topk(
+            emb01, "vec_id", "embedding", query, k=10, n_clusters=16,
+            n_probe=4, exclude_id=0, centroids=c1,
+        ).collect()
+    ]
+    recall = len(set(exact_ids) & set(approx_ids)) / 10
+    assert recall >= 0.9, (recall, exact_ids, approx_ids)
