@@ -511,14 +511,36 @@ FROM cells, t GROUP BY n_ref, n_obs
 
 
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch cardinalities (no SQL oracle — sketch values are
-    engine-specific; rows-only check)."""
+    """HLL++ sketch cardinalities with a numeric-bound oracle: the sketch
+    registers are engine-specific, so the oracled columns are the EXACT
+    distinct counts plus booleans asserting |approx − exact| ≤ 3·rsd·exact
+    (the documented accuracy contract — VERDICT r2 #7; previously a
+    rows-only check)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    rsd = 0.02
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd).alias("ao"),
+        F.approx_count_distinct("l_partkey", rsd).alias("ap"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        (F.abs(F.col("ao") - F.col("exact_orders"))
+         <= 3 * rsd * F.col("exact_orders")).alias("orders_within_3rsd"),
+        (F.abs(F.col("ap") - F.col("exact_parts"))
+         <= 3 * rsd * F.col("exact_parts")).alias("parts_within_3rsd"),
+    )
+
+
+_HLL_CARDINALITY_SQL = """
+SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+       COUNT(DISTINCT l_partkey)::BIGINT AS exact_parts,
+       TRUE AS orders_within_3rsd,
+       TRUE AS parts_within_3rsd
+FROM lineitem
+"""
 
 
 # --------------------------------------------------------------------- drift
@@ -616,9 +638,30 @@ FROM full_t
 
 
 def q_ks_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based KS (the 10^12-row path). Approximate — rows-only check."""
-    return ks_2samp_quantile(_t(spark, sf_dir, "events"), "value", "event_type",
-                             "click", "view", buckets=256)
+    """Sketch-based KS (the 10^12-row path) with a numeric-bound oracle:
+    the approximate statistic must sit within sketch-accuracy + 1/B of the
+    exact KS (VERDICT r2 #7 — previously a rows-only check). Oracled
+    columns: exact group sizes + the tolerance verdict."""
+    ev = _t(spark, sf_dir, "events")
+    approx = ks_2samp_quantile(ev, "value", "event_type", "click", "view",
+                               buckets=256)
+    exact = ks_2samp_exact(ev, "value", "event_type", "click", "view")
+    tol = 1.0 / 256 + 1.0 / 10000 + 1e-6  # 1/B + percentile_approx rank err
+    return approx.crossJoin(
+        exact.select(F.col("ks_stat").alias("ks_exact"))
+    ).select(
+        "n_a",
+        "n_b",
+        (F.abs(F.col("ks_stat") - F.col("ks_exact")) <= tol).alias("within_tol"),
+    )
+
+
+_KS_QUANTILE_SQL = """
+SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+       TRUE AS within_tol
+FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+"""
 
 
 def q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,8 +1290,10 @@ def oracle_sql() -> dict[str, str]:
         "profile_documents": _profile_sql("documents", ["lang", "n_chars", "source"]),
         "histogram_events_value": _HISTOGRAM_EVENTS_SQL,
         "psi_events_value": _PSI_EVENTS_SQL,
-        # hll_cardinality / ks_quantile_events: sketch-based (engine-specific
-        # internals) → rows-only checks
+        # sketch-based queries carry numeric-BOUND oracles: exact counts +
+        # tolerance verdict columns (the sketch internals stay engine-local)
+        "hll_cardinality": _HLL_CARDINALITY_SQL,
+        "ks_quantile_events": _KS_QUANTILE_SQL,
         "ks_events_value": _KS_EVENTS_SQL,
         "ks_per_lang_documents": _KS_PER_LANG_SQL,
         "chi_square_events": _CHI_SQUARE_EVENTS_SQL,
