@@ -130,3 +130,46 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
         ("2024-01-01 10:00:00", "click", 2),
         ("2024-01-01 11:00:00", "view", 1),
     }
+
+
+def test_first_seen_stream_ttl_expiry(spark, tmp_path):
+    """TTL'd dedup state (VERDICT r2 #9): a bucket idle past ttl_minutes is
+    DROPPED (bounded state), so its contents re-emit on re-occurrence.
+    One availableNow query, maxFilesPerTrigger=1 → three data micro-batches:
+    alpha | delta (its data batch fires the idle alpha-bucket's timeout) |
+    alpha again (re-emits because the state was removed). Inter-batch gaps
+    (~1 s) dwarf the 60 ms TTL. noDataMicroBatches is disabled for the run:
+    with availableNow, no-data timeout-polling batches would keep the query
+    alive indefinitely (see first_seen_stream docstring)."""
+    import hashlib
+    import time
+
+    from fairtracks_validator_spark.streaming.stateful import first_seen_stream
+
+    src = str(tmp_path / "ttl_src")
+    out = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    ddl = "id LONG, content STRING"
+
+    for rows in ([(1, "alpha")], [(2, "delta")], [(3, "alpha")]):
+        spark.createDataFrame(rows, ddl).coalesce(1) \
+            .write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        stream = (spark.readStream.schema(ddl)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (first_seen_stream(stream, "id", "content", ttl_minutes=0.001)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    got = {(r["id"], r["content_hash"])
+           for r in spark.read.parquet(out).collect()}
+    assert (1, md5("alpha")) in got and (2, md5("delta")) in got
+    assert (3, md5("alpha")) in got  # re-emitted: bounded/TTL'd state
