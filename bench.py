@@ -23,6 +23,7 @@ HEADLINE = [
     "validate_documents",
     "validate_documents_draft7",
     "validate_multischema",
+    "validate_documents_formats",
     "pk_dup_orders_custkey",
     "fk_missing_events_user",
     "profile_orders",
@@ -44,6 +45,7 @@ HEADLINE = [
     "simhash_documents",
     "simhash_neardup_documents",
     "cosine_topk_embeddings",
+    "ivf_ann_embeddings",
     "langid_documents",
     "quality_documents",
 ]
