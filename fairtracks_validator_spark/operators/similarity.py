@@ -160,7 +160,9 @@ def kmeans_fit(
     if n == 0:
         raise ValueError("kmeans_fit: empty input")
     stride = max(1, n // max_sample)
-    sample = v.where(F.col("id") % stride == 0)
+    # the sample is BOUNDED (≤ ~max_sample rows) and feeds iters+2 jobs —
+    # persist for the duration of training, released before returning
+    sample = v.where(F.col("id") % stride == 0).persist()
     m = sample.count()
     k = min(k, m)
     step = max(1, m // k)
@@ -197,6 +199,7 @@ def kmeans_fit(
         )
         new = {r["cluster"]: list(r["cvec"]) for r in upd}
         centroids = [(cid, new.get(cid, old)) for cid, old in centroids]
+    sample.unpersist()
     return centroids
 
 
