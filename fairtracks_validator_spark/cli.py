@@ -55,7 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     for w in plan.warnings:
         print(f"WARNING: {w}", file=sys.stderr)
 
-    df = spark.read.parquet(args.input)
+    from .sources.tables import is_catalog_table, read_table
+
+    df = read_table(spark, args.input)
     df = df.withColumn("source", F.col(args.key_col).cast("string"))
     if args.ord_col:
         df = df.withColumn("ord", F.col(args.ord_col).cast("long"))
@@ -70,12 +72,21 @@ def main(argv: list[str] | None = None) -> int:
         # order (ingestion timestamp, sequence number).
         from .sources.catalog import _stamp_ord
 
-        df = (
-            df.withColumn("_file", F.col("_metadata.file_path"))
-            .withColumn("_bstart", F.col("_metadata.file_block_start"))
-            .withColumn("_mono", F.monotonically_increasing_id())
-        )
-        df = _stamp_ord(df, file_col="_file").drop("_file")
+        if is_catalog_table(spark, args.input):
+            # Iceberg reserved metadata: _file + _pos give the same
+            # file-positional order the parquet _metadata struct does
+            df = (
+                df.withColumn("_srcfile", F.col("_file"))
+                .withColumn("_bstart", F.lit(0).cast("long"))
+                .withColumn("_mono", F.col("_pos"))
+            )
+        else:
+            df = (
+                df.withColumn("_srcfile", F.col("_metadata.file_path"))
+                .withColumn("_bstart", F.col("_metadata.file_block_start"))
+                .withColumn("_mono", F.monotonically_increasing_id())
+            )
+        df = _stamp_ord(df, file_col="_srcfile").drop("_srcfile")
 
     cv = CheckpointedValidation(out_dir=args.out, n_partitions=args.partitions)
     summary = cv.run(
