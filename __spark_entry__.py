@@ -453,6 +453,45 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + sketch quantiles in one scan; the oracle checks the exact
+    values and the sketch's rank-error verdict (numeric-bound pattern)."""
+    from fairtracks_validator_spark.operators.stats import quantile_profile
+
+    return quantile_profile(
+        _t(spark, sf_dir, "orders"), ["o_totalprice", "o_custkey"]
+    ).orderBy("column", "q")
+
+
+def _quantile_profile_sql() -> str:
+    arms = []
+    for c in ("o_custkey", "o_totalprice"):
+        for q in (0.25, 0.5, 0.75, 0.9):
+            arms.append(
+                f"SELECT '{c}' AS \"column\", CAST({q} AS DOUBLE) AS q, "
+                f"ROUND(quantile_cont(CAST({c} AS DOUBLE), {q}), 6) AS exact_q, "
+                f"TRUE AS within_tol FROM orders"
+            )
+    return " UNION ALL ".join(arms) + ' ORDER BY "column", q'
+
+
+def q_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-safe count(DISTINCT user) per event_type: the heavy shuffle is
+    keyed by (group, value) — the value is the built-in salt."""
+    from fairtracks_validator_spark.operators.stats import distinct_count_per_group
+
+    return distinct_count_per_group(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    ).orderBy("event_type")
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_histogram_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fairtracks_validator_spark.operators.stats import histogram
 
@@ -1252,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_missing_events_user": q_fk_missing_events_user,
         "profile_orders": q_profile_orders,
         "profile_documents": q_profile_documents,
+        "quantile_profile_orders": q_quantile_profile_orders,
+        "distinct_users_events": q_distinct_users_events,
         "histogram_events_value": q_histogram_events_value,
         "psi_events_value": q_psi_events_value,
         "hll_cardinality": q_hll_cardinality,
@@ -1288,6 +1329,8 @@ def oracle_sql() -> dict[str, str]:
         "fk_missing_events_user": _FK_MISSING_EVENTS_SQL,
         "profile_orders": _profile_sql("orders", ["o_custkey", "o_totalprice", "o_orderdate"]),
         "profile_documents": _profile_sql("documents", ["lang", "n_chars", "source"]),
+        "quantile_profile_orders": _quantile_profile_sql(),
+        "distinct_users_events": _DISTINCT_USERS_SQL,
         "histogram_events_value": _HISTOGRAM_EVENTS_SQL,
         "psi_events_value": _PSI_EVENTS_SQL,
         # sketch-based queries carry numeric-BOUND oracles: exact counts +
