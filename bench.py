@@ -27,6 +27,8 @@ HEADLINE = [
     "pk_dup_orders_custkey",
     "fk_missing_events_user",
     "profile_orders",
+    "quantile_profile_orders",
+    "distinct_users_events",
     "histogram_events_value",
     "psi_events_value",
     "ks_events_value",
