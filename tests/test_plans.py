@@ -124,3 +124,31 @@ def test_whole_stage_codegen_covers_checks(spark, pages_parquet):
     assert "*(1)" in txt
     # no Generate/explode, no BatchEvalPython in the predicate path
     assert "Generate" not in txt and "EvalPython" not in txt
+
+
+def test_formats_query_prunes_to_one_column(spark):
+    """The formats oracle query derives six checked columns from doc_id —
+    column pruning must reach the scan (ReadSchema = doc_id only) and the
+    regex checks must stay out of Python."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["validate_documents_formats"](
+        spark, "/root/testdata/sf0.001"
+    )
+    txt = _plan_str(df)
+    assert "ReadSchema: struct<doc_id:bigint>" in txt
+    assert "EvalPython" not in txt
+
+
+def test_quantile_profile_single_aggregate(spark):
+    """quantile_profile computes every (column, q) pair in ONE aggregation:
+    a single scan, no join, no repeated exchange per quantile."""
+    from fairtracks_validator_spark.operators.stats import quantile_profile
+
+    df = quantile_profile(
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+        ["o_totalprice", "o_custkey"],
+    )
+    txt = _plan_str(df)
+    assert txt.count("Scan parquet") == 1
+    assert "Join" not in txt
