@@ -1188,6 +1188,105 @@ ORDER BY score DESC, id ASC LIMIT {topk}
     return "".join(parts)
 
 
+def q_url_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain over messy URLs derived
+    deterministically from doc_id (mixed case, default/explicit ports,
+    tracking params, fragments, co.uk suffixes) — the pre-dedup key
+    normalization of a Common-Crawl pipeline; replicated verbatim in SQL."""
+    from fairtracks_validator_spark.functions.url import (
+        canonical_url,
+        registered_domain,
+        url_host,
+    )
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Site"), (did % 50).cast("string"),
+        F.when(did % 4 == 0, F.lit(".CO.UK")).otherwise(F.lit(".Example.COM")),
+        F.when(did % 3 == 0, F.lit(":80"))
+         .when(did % 3 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/p/"), (did % 7).cast("string"))
+        ),
+        F.when(did % 2 == 0, F.concat(
+            F.lit("?utm_source=x&b="), (did % 9).cast("string"), F.lit("&a=1")
+        )).when(did % 6 == 1, F.lit("?z=1")).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(did.alias("doc_id"), url.alias("u"))
+        .select(
+            "doc_id",
+            canonical_url(F.col("u")).alias("canon"),
+            registered_domain(url_host(F.col("u"))).alias("domain"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _url_canonical_sql() -> str:
+    from fairtracks_validator_spark.functions.url import TWO_LEVEL_SUFFIXES
+
+    sufs = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '.CO.UK' ELSE '.Example.COM' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ''
+             ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END)
+    || (CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=x&b=' || CAST(doc_id % 9 AS VARCHAR) || '&a=1'
+             WHEN doc_id % 6 = 1 THEN '?z=1' ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS u0
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+    regexp_replace(trim(u0), '#.*$', '') AS u
+  FROM d
+),
+x AS (
+  SELECT doc_id, u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)', 1)) AS host0,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*', '') AS rest
+  FROM p
+),
+y AS (
+  SELECT doc_id, u, scheme,
+    (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+          WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+          ELSE host0 END) AS host,
+    (CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+          ELSE regexp_extract(rest, '^([^?]*)', 1) END) AS pth,
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+      q -> q <> '' AND NOT regexp_matches(q, '^(utm_|gclid(=|$)|fbclid(=|$))')
+    )), '&'), '') AS q2,
+    string_split(regexp_replace(host0, ':[0-9]+$', ''), '.') AS parts,
+    regexp_replace(host0, ':[0-9]+$', '') AS h
+  FROM x
+)
+SELECT doc_id::BIGINT AS doc_id,
+  (CASE WHEN scheme <> ''
+        THEN scheme || '://' || host || pth
+             || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+        ELSE u END) AS canon,
+  (CASE WHEN len(parts) >= 3
+             AND concat_ws('.', parts[-2], parts[-1]) IN ({sufs})
+        THEN concat_ws('.', parts[-3], parts[-2], parts[-1])
+        WHEN len(parts) >= 2 THEN concat_ws('.', parts[-2], parts[-1])
+        ELSE h END) AS domain
+FROM y ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ text ops
 def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par(_t(spark, sf_dir, "documents"))
@@ -1312,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann_embeddings": q_ivf_ann_embeddings,
+        "url_canonical_documents": q_url_canonical_documents,
         "langid_documents": q_langid_documents,
         "quality_documents": q_quality_documents,
         "token_counts_documents": q_token_counts_documents,
@@ -1352,6 +1452,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_embeddings": _COSINE_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "ivf_ann_embeddings": _ivf_ann_sql(),
+        "url_canonical_documents": _url_canonical_sql(),
         "langid_documents": _langid_sql(),
         "quality_documents": _QUALITY_SQL,
         "token_counts_documents": _TOKEN_COUNTS_SQL,
