@@ -123,6 +123,11 @@ def fk_check(
     if broadcast_pk:
         pk_side = F.broadcast(pk_side)
 
+    # When the PK side exceeds the broadcast gate this becomes a shuffle
+    # anti-join; Spark's optimizer-injected runtime bloom filter
+    # (spark.sql.optimizer.runtime.bloomFilter.enabled, on by default)
+    # pre-filters the probe side map-side, so only likely-missing keys pay
+    # the shuffle — the bloom-prefilter pattern without hand-rolled sketches.
     return probes.join(pk_side, "key_str", "left_anti").select(
         "source",
         "ord",

@@ -44,6 +44,43 @@ def sessionize(
     )
 
 
+def streaming_session_stats(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`session_stats` on Spark's native gap-merge
+    windows (``F.session_window``): state is per (user, open session) and a
+    session CLOSES — and its row becomes final — once the watermark passes
+    ``last_event + gap``, so late stragglers within the watermark still
+    merge. Use append output mode with a file sink; complete mode replays
+    all sessions each trigger (tests).
+
+    Boundary semantics vs the batch lag form: ``session_window`` spans
+    ``[start, last + gap)`` — an event arriving EXACTLY ``gap`` after the
+    last one starts a new session, while the batch form's ``> gap``
+    comparison keeps it. Sub-second-resolution data never hits the
+    boundary; document which form defined any historical sessions before
+    mixing outputs.
+    """
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_timestamp(F.col(ts_col))).alias("start_epoch"),
+            F.max(F.unix_timestamp(F.col(ts_col))).alias("end_epoch"),
+        )
+        .select(
+            user_col, "n_events", "start_epoch", "end_epoch",
+            (F.col("end_epoch") - F.col("start_epoch")).alias("duration_s"),
+        )
+    )
+
+
 def session_stats(
     df: DataFrame,
     user_col: str = "user_id",

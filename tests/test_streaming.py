@@ -173,3 +173,42 @@ def test_first_seen_stream_ttl_expiry(spark, tmp_path):
            for r in spark.read.parquet(out).collect()}
     assert (1, md5("alpha")) in got and (2, md5("delta")) in got
     assert (3, md5("alpha")) in got  # re-emitted: bounded/TTL'd state
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """F.session_window streaming sessionization agrees with the batch
+    lag-window form on gap-unambiguous data (no exact-boundary events)."""
+    from pyspark.sql import functions as F
+
+    from fairtracks_validator_spark.operators.sessions import (
+        session_stats,
+        streaming_session_stats,
+    )
+
+    rows = []
+    # user 1: two sessions (40-min gap); user 2: one session of 3 events
+    for ts in ["10:00:00", "10:05:00", "10:50:00", "10:55:00"]:
+        rows.append((1, f"2024-01-01 {ts}"))
+    for ts in ["09:00:00", "09:10:00", "09:20:00"]:
+        rows.append((2, f"2024-01-01 {ts}"))
+    src = str(tmp_path / "sess_src")
+    df = spark.createDataFrame(rows, "user_id long, ts_s string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (streaming_session_stats(stream, gap="30 minutes")
+         .writeStream.format("memory").queryName("sess_out")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"], r["start_epoch"], r["end_epoch"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    want = {
+        (r["user_id"], r["n_events"], r["start_epoch"], r["end_epoch"])
+        for r in session_stats(
+            spark.read.parquet(src), gap_seconds=1800
+        ).collect()
+    }
+    assert got == want and len(got) == 3
