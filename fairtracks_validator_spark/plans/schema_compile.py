@@ -81,6 +81,19 @@ class ValidationPlan:
     uniques: list[UniqueSpec] = field(default_factory=list)
     fks: list[FKSpec] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
+    # every document jPath the compiled expressions reference → optional DDL
+    # hint for its expected shape (map-encoded objects). The runner aligns
+    # drifted tables against this set (absent column ⇒ typed null column ⇒
+    # reference "property absent" semantics) instead of crashing on
+    # UNRESOLVED_COLUMN.
+    jpaths: dict[str, str | None] = field(default_factory=dict)
+
+
+def _note_path(plan: ValidationPlan, path: str, ddl: str | None = None) -> None:
+    if path and path != ".":
+        plan.jpaths.setdefault(path, ddl)
+        if ddl is not None:
+            plan.jpaths[path] = ddl
 
 
 def _as_list(v) -> list:
@@ -347,6 +360,8 @@ def _add_members_constraint(plan: ValidationPlan, check_id: str, members, kind: 
         _warn(plan, f"{kind} in {plan.schema_id} is not composed by strings "
                     "defining its attributes. Ignoring it")
         return
+    for m in members:
+        _note_path(plan, m)
     plan.uniques.append(UniqueSpec(check_id=check_id, members=list(members)))
 
 
@@ -379,6 +394,7 @@ def _walk(
             _warn(plan, f"tuple-form 'items' at {prefix or '#'} needs a "
                         "non-fan-out array path — not enforced")
             return
+        _note_path(plan, prefix)
         for i, s in enumerate(schema["items"]):
             if isinstance(s, dict):
                 s = _deref(plan, root, s)
@@ -421,6 +437,8 @@ def _walk(
                 comps.append(
                     f"{prefix}.{comp}" if comp and comp != "." and prefix else (comp if comp and comp != "." else prefix)
                 )
+            for comp in comps:
+                _note_path(plan, comp)
             plan.fks.append(
                 FKSpec(
                     check_id=f"fk:{prefix or '.'}:{i}",
@@ -435,6 +453,7 @@ def _walk(
     dotted = (prefix + ".") if prefix else ""
 
     for r in schema.get("required", []) or []:
+        _note_path(plan, f"{dotted}{r}")
         plan.checks.append(C.required_check(f"{dotted}{r}"))
 
     # property dependencies (array form) over struct/flat columns; map-encoded
@@ -444,6 +463,9 @@ def _walk(
         for dprop, req in sorted(deps.items()):
             if (isinstance(req, list) and req
                     and all(isinstance(x, str) for x in req)):
+                _note_path(plan, f"{dotted}{dprop}")
+                for r in req:
+                    _note_path(plan, f"{dotted}{r}")
                 plan.checks.append(
                     C.presence_dependency_check(
                         f"{dotted}{dprop}", [f"{dotted}{r}" for r in req]
@@ -538,6 +560,8 @@ def _compile_property(
     root = root if root is not None else sub
     if depth > 32:
         return
+    _note_path(plan, path,
+               "map<string,string>" if sub.get("x-encoding") == "map" else None)
     _warn_unknown_keywords(plan, sub, path)
     t = sub.get("type")
     if isinstance(t, str) and t in ("string", "number", "integer", "boolean"):

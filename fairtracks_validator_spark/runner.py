@@ -94,6 +94,83 @@ class ValidationResult:
         return out
 
 
+def _null_ddl_for_steps(steps: list[tuple[str, str | None]]) -> str:
+    """DDL of a null column shaped like the ACCESS PATTERN of a jPath whose
+    root column is absent: `a.b[].c` pads `a` as
+    struct<b: array<struct<c: string>>> so getField/fan-out resolve and every
+    check sees "value absent"."""
+    t = "string"
+    for name, idx in reversed(steps[1:]):
+        inner = f"array<{t}>" if idx is not None else t
+        t = f"struct<{name}:{inner}>"
+    _name0, idx0 = steps[0]
+    return f"array<{t}>" if idx0 is not None else t
+
+
+def align_to_plan(df: DataFrame, plan: ValidationPlan) -> DataFrame:
+    """Schema-drift tolerance: every jPath the plan references must RESOLVE
+    against ``df`` — the reference treats an absent property as "no value"
+    (required fails, every other keyword is vacuous, keys contribute
+    nothing, ``ValidableDoc.java:137-147``), while unpatched Spark would
+    throw UNRESOLVED_COLUMN at analysis. Absent ROOT columns are padded as
+    typed nulls matching the path shape (or the plan's DDL hint for
+    map-encoded objects); absent depth-1 struct fields are padded via
+    ``withField`` (arrays of structs via ``transform``). Each pad warns —
+    drift is tolerated, never silent."""
+    import warnings as _w
+
+    from pyspark.sql import types as T
+
+    from .functions.keys import _parse_jpath
+
+    cols = set(df.columns)
+    for path in sorted(plan.jpaths or {}):
+        try:
+            steps = _parse_jpath(path)
+        except ValueError:
+            continue
+        root, _ridx = steps[0]
+        if root not in cols:
+            ddl = plan.jpaths.get(path) or _null_ddl_for_steps(steps)
+            _w.warn(
+                f"document column {root!r} (for schema path {path!r}) is "
+                f"absent from the table — treating as null ({plan.schema_id}; "
+                "schema drift)"
+            )
+            df = df.withColumn(root, F.lit(None).cast(ddl))
+            cols.add(root)
+        elif len(steps) > 1:
+            dt = df.schema[root].dataType
+            name1, _idx1 = steps[1]
+            field_ddl = _null_ddl_for_steps(steps[1:])
+            if isinstance(dt, T.StructType) and name1 not in dt.fieldNames():
+                _w.warn(
+                    f"struct field {root}.{name1} (for schema path {path!r}) "
+                    f"is absent — treating as null ({plan.schema_id}; schema drift)"
+                )
+                df = df.withColumn(
+                    root,
+                    F.col(root).withField(name1, F.lit(None).cast(field_ddl)),
+                )
+            elif (
+                isinstance(dt, T.ArrayType)
+                and isinstance(dt.elementType, T.StructType)
+                and name1 not in dt.elementType.fieldNames()
+            ):
+                _w.warn(
+                    f"struct field {root}[].{name1} (for schema path {path!r}) "
+                    f"is absent — treating as null ({plan.schema_id}; schema drift)"
+                )
+
+                def _pad(name: str, ddl: str):
+                    return lambda x: x.withField(name, F.lit(None).cast(ddl))
+
+                df = df.withColumn(
+                    root, F.transform(F.col(root), _pad(name1, field_ddl))
+                )
+    return df
+
+
 def validate_corpus(
     corpus: dict[str, tuple[ValidationPlan, DataFrame]],
     source_col: str = "source",
@@ -111,6 +188,13 @@ def validate_corpus(
     """
     spark = next(iter(corpus.values()))[1].sparkSession
     empty_violations = spark.createDataFrame([], VIOLATION_SCHEMA)
+
+    # schema-drift alignment: plan-referenced paths must resolve (absent ⇒
+    # typed null column ⇒ reference "property absent" semantics)
+    corpus = {
+        sid: (plan, align_to_plan(df, plan))
+        for sid, (plan, df) in corpus.items()
+    }
 
     # web-scale fast path: single schema, pure-Column checks, at most one
     # flat-member uniqueness constraint, no FKs ⇒ ONE scan + ONE shuffle
