@@ -816,10 +816,10 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_cand_cte() -> str:
+def _minhash_cand_cte(suffix_sql: str = "|| ' extra extra'") -> str:
     """DuckDB CTE chain replicating tokens→shingles→affine-minhash→bands→
     candidate pairs (md5-parity with the Spark expressions); reused by the
-    LSH-candidates oracle and the LSH→verify pipeline oracle."""
+    LSH-candidates oracle and the LSH→verify pipeline oracles."""
     from fairtracks_validator_spark.operators.dedup import (
         MINHASH_A,
         MINHASH_B,
@@ -829,7 +829,7 @@ def _minhash_cand_cte() -> str:
     a = "[" + ", ".join(str(x) for x in MINHASH_A) + "]"
     b = "[" + ", ".join(str(x) for x in MINHASH_B) + "]"
     return f"""
-corpus AS ({_DOCS_CLONES_SQL.replace("{SUFFIX}", "|| ' extra extra'")}),
+corpus AS ({_DOCS_CLONES_SQL.replace("{SUFFIX}", suffix_sql)}),
 tok AS (SELECT doc_id AS id, {_SQL_TOKENS} AS words FROM corpus),
 sh AS (SELECT id, {_SQL_SHINGLES} AS shingles FROM tok WHERE len(words) >= 3),
 hx AS (
@@ -884,6 +884,39 @@ FROM cand c JOIN sets x ON x.id = c.ia JOIN sets y ON y.id = c.ib
 WHERE ROUND(len(list_intersect(x.shingles, y.shingles)) * 1.0
             / (len(x.shingles) + len(y.shingles)
                - len(list_intersect(x.shingles, y.shingles))), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+
+
+_PAD_SUFFIX = (" pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8"
+               " pad9 pad10 pad11 pad12")
+
+
+def q_containment_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-metric verification (|A∩B| / min(|A|,|B|)): clones padded
+    with 12 boilerplate words stay containment≈1.0 while their Jaccard is
+    diluted — the subset-duplication detector for page ⊂ page+chrome."""
+    docs = _docs_with_clones(spark, sf_dir, suffix=_PAD_SUFFIX)
+    cands = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=8, bands=4)
+    return verify_jaccard(
+        cands, docs, "doc_id", "text", n=3, threshold=0.8,
+        metric="containment",
+    ).orderBy("id_a", "id_b")
+
+
+def _containment_verified_sql() -> str:
+    cte = _minhash_cand_cte(suffix_sql=f"|| '{_PAD_SUFFIX}'")
+    cm = ("len(list_intersect(x.shingles, y.shingles)) * 1.0"
+          " / least(len(x.shingles), len(y.shingles))")
+    return f"""
+WITH {cte},
+sets AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0)
+SELECT c.ia::BIGINT AS id_a, c.ib::BIGINT AS id_b,
+       ROUND({cm}, 6) AS containment
+FROM cand c JOIN sets x ON x.id = c.ia JOIN sets y ON y.id = c.ib
+WHERE ROUND({cm}, 6) >= 0.8
 ORDER BY id_a, id_b
 """
 
@@ -1404,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "minhash_verified_dups": q_minhash_verified_dups,
+        "containment_verified_dups": q_containment_verified_dups,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "simhash_documents": q_simhash_documents,
         "simhash_neardup_documents": q_simhash_neardup_documents,
@@ -1445,6 +1479,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "minhash_lsh_documents": _minhash_sql(),
         "minhash_verified_dups": _minhash_verified_sql(),
+        "containment_verified_dups": _containment_verified_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
         "simhash_documents": _SIMHASH_SQL,
         "simhash_neardup_documents": _SIMHASH_NEARDUP_SQL,

@@ -394,6 +394,7 @@ def verify_jaccard(
     n: int = 3,
     threshold: float = 0.5,
     broadcast_pairs: bool = True,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact word-n-gram Jaccard computed ONLY for a candidate-pair set —
     the scale-safe verifier stage of the LSH→verify dedup pipeline.
@@ -441,17 +442,24 @@ def verify_jaccard(
     if broadcast_pairs:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     both = pairs.join(sa, "id_a").join(sb, "id_b")
-    # _let: the intersect size feeds both numerator and union denominator —
+    # metric: "jaccard" = |∩|/|∪| (symmetric near-dup); "containment" =
+    # |∩|/min(|A|,|B|) — catches subset duplication (page ⊂ page+boilerplate)
+    # that Jaccard dilutes below threshold.
+    if metric == "containment":
+        denom = lambda i: F.least(F.size("sh_a"), F.size("sh_b"))  # noqa: E731
+    elif metric == "jaccard":
+        denom = lambda i: F.size("sh_a") + F.size("sh_b") - i  # noqa: E731
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    # _let: the intersect size feeds both numerator and denominator —
     # bind once (CollapseProject would otherwise inline it per use)
-    jaccard = _let(
+    score = _let(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double"),
-        lambda i: F.round(
-            i / (F.size("sh_a") + F.size("sh_b") - i), 6
-        ),
+        lambda i: F.round(i / denom(i), 6),
     )
     out = (
-        both.select("id_a", "id_b", jaccard.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        both.select("id_a", "id_b", score.alias(metric))
+        .where(F.col(metric) >= threshold)
         # verified pairs are output-sized: materialize them eagerly so the
         # scratch persists below can be RELEASED before returning — a
         # long-lived 100-TB session must not accumulate cached relations

@@ -63,7 +63,12 @@ def process_batch(
 ) -> None:
     """One micro-batch of incremental validation (also callable directly for
     tests / backfills)."""
+    from ..runner import align_to_plan
+
     spark = batch_df.sparkSession
+    # schema-drift alignment, same as the batch runner (absent column ⇒
+    # typed null ⇒ "property absent" semantics instead of UNRESOLVED_COLUMN)
+    batch_df = align_to_plan(batch_df, plan)
 
     schema_viol = apply_checks(
         batch_df, plan.checks, plan.join_checks, plan.schema_id, source_col, ord_col

@@ -450,3 +450,33 @@ def test_multimodal_ppm_real_resize(spark):
     xi = (np.arange(4) * 16) // 4
     expected = src[xi][:, xi]
     assert np.array_equal(px, expected)
+
+
+def test_containment_catches_subset_dups_jaccard_misses(spark):
+    """A document padded with boilerplate is a SUBSET duplicate: containment
+    stays ~1.0 while Jaccard dilutes below a strict threshold."""
+    from fairtracks_validator_spark.operators.dedup import verify_jaccard
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pad = " b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + pad)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    cont = verify_jaccard(pairs, docs, "doc_id", "text", n=3,
+                          threshold=0.8, metric="containment").collect()
+    jac = verify_jaccard(pairs, docs, "doc_id", "text", n=3,
+                         threshold=0.8, metric="jaccard").collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    assert jac == []  # diluted below 0.8
+
+
+def test_verify_jaccard_rejects_unknown_metric(spark):
+    import pytest as _pt
+
+    from fairtracks_validator_spark.operators.dedup import verify_jaccard
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 1)], "id_a long, id_b long")
+    with _pt.raises(ValueError, match="unknown metric"):
+        verify_jaccard(pairs, docs, "doc_id", "text", metric="dice")
