@@ -549,6 +549,48 @@ FROM cells, t GROUP BY n_ref, n_obs
 """
 
 
+def q_psi_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous drift monitor: PSI of each hour's value distribution vs
+    the previous observed hour (windowed twin of psi_events_value)."""
+    from fairtracks_validator_spark.operators.stats import psi_timeseries
+
+    return psi_timeseries(_t(spark, sf_dir, "events"), "value", "ts",
+                          lo=0.0, hi=500.0, buckets=10)
+
+
+_PSI_HOURLY_SQL = """
+WITH s AS (
+  SELECT date_trunc('hour', ts) AS w,
+         CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+              WHEN CAST(value AS DOUBLE) >= 500.0 THEN 11
+              ELSE CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 500.0 * 10) + 1 AS INT)
+         END AS b
+  FROM events WHERE value IS NOT NULL
+),
+cells AS (SELECT w, b, COUNT(*)::BIGINT AS n FROM s GROUP BY w, b),
+wins AS (SELECT DISTINCT w FROM cells),
+grid AS (SELECT w, gb.b FROM wins, (SELECT unnest(range(0, 12)) AS b) gb),
+full_t AS (
+  SELECT g.w, g.b, COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN cells c ON c.w = g.w AND c.b = g.b
+),
+sh AS (
+  SELECT w, b, n * 1.0 / SUM(n) OVER (PARTITION BY w) AS share FROM full_t
+),
+pl AS (
+  SELECT w, b, share,
+         lag(share) OVER (PARTITION BY b ORDER BY w) AS prev
+  FROM sh
+)
+SELECT CAST(w AS VARCHAR) AS window_start,
+       ROUND(SUM((GREATEST(share, 0.000001) - GREATEST(prev, 0.000001))
+                 * LN(GREATEST(share, 0.000001) / GREATEST(prev, 0.000001))),
+             6) AS psi
+FROM pl WHERE prev IS NOT NULL
+GROUP BY w ORDER BY window_start
+"""
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch cardinalities with a numeric-bound oracle: the sketch
     registers are engine-specific, so the oracled columns are the EXACT
@@ -1427,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_events": q_distinct_users_events,
         "histogram_events_value": q_histogram_events_value,
         "psi_events_value": q_psi_events_value,
+        "psi_hourly_events": q_psi_hourly_events,
         "hll_cardinality": q_hll_cardinality,
         "ks_events_value": q_ks_events_value,
         "ks_quantile_events": q_ks_quantile_events,
@@ -1467,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_events": _DISTINCT_USERS_SQL,
         "histogram_events_value": _HISTOGRAM_EVENTS_SQL,
         "psi_events_value": _PSI_EVENTS_SQL,
+        "psi_hourly_events": _PSI_HOURLY_SQL,
         # sketch-based queries carry numeric-BOUND oracles: exact counts +
         # tolerance verdict columns (the sketch internals stay engine-local)
         "hll_cardinality": _HLL_CARDINALITY_SQL,

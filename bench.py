@@ -31,6 +31,7 @@ HEADLINE = [
     "distinct_users_events",
     "histogram_events_value",
     "psi_events_value",
+    "psi_hourly_events",
     "ks_events_value",
     "ks_quantile_events",
     "chi_square_events",

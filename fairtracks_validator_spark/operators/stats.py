@@ -294,3 +294,52 @@ def cardinality_check(
             F.col("approx_nd"), F.col("n_non_null"),
         ).alias("description"),
     )
+
+
+def psi_timeseries(
+    df: "DataFrame",
+    value_col: str,
+    ts_col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 10,
+    eps: float = 1e-6,
+) -> "DataFrame":
+    """Hourly drift monitor: PSI of each hour's value distribution vs the
+    PREVIOUS observed hour — the continuous form of :func:`psi` a production
+    validation run charts per partition/window.
+
+    Shape: one (hour, bucket) aggregation (map-combined; ≤ windows×(B+2)
+    result rows — bounded by the time range, never by N), the bucket grid
+    completed so empty bins floor at ``eps``, shares lagged per bucket
+    across hours. Hours with no rows at all simply don't appear; the lag
+    then compares to the last OBSERVED hour (documented gap semantics).
+    The first observed hour has no predecessor and is omitted.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    b = fixed_width_bucket(F.col(value_col), lo, hi, buckets)
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("w"), b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wins = cells.select("w").distinct()
+    grid = wins.crossJoin(
+        spark.range(0, buckets + 2).select(F.col("id").cast("int").alias("b"))
+    )
+    full = grid.join(cells, ["w", "b"], "left").na.fill({"n": 0})
+    share = F.col("n") / F.sum("n").over(Window.partitionBy("w"))
+    prev = F.lag("share").over(Window.partitionBy("b").orderBy("w"))
+    s = F.greatest(F.col("share"), F.lit(eps))
+    p = F.greatest(F.col("prev"), F.lit(eps))
+    return (
+        full.withColumn("share", share)
+        .withColumn("prev", prev)
+        .where(F.col("prev").isNotNull())
+        .groupBy("w")
+        .agg(F.round(F.sum((s - p) * F.log(s / p)), 6).alias("psi"))
+        .select(F.col("w").cast("string").alias("window_start"), "psi")
+        .orderBy("window_start")
+    )
