@@ -20,9 +20,14 @@ from pyspark.sql import functions as F
 from fairtracks_validator_spark.functions.text import (
     bpe_token_count,
     doc_fingerprint,
+    dup_token_frac,
+    gopher_metrics,
+    gopher_pass,
     langid,
     quality_score,
     token_count,
+    tokens as text_tokens,
+    top_gram_frac,
 )
 from fairtracks_validator_spark.operators.dedup import (
     embedding_neardup_pairs,
@@ -38,7 +43,7 @@ from fairtracks_validator_spark.operators.drift import (
     ks_2samp_quantile,
 )
 from fairtracks_validator_spark.operators.similarity import cosine_topk, ivf_topk
-from fairtracks_validator_spark.operators.stats import column_profile
+from fairtracks_validator_spark.operators.stats import column_profile, top_k_per_group
 from fairtracks_validator_spark.operators.uniqueness import uniqueness_check
 from fairtracks_validator_spark.plans.schema_compile import compile_schema
 from fairtracks_validator_spark.runner import validate_corpus
@@ -1454,6 +1459,138 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021) — per-doc metrics + verdict.
+
+    The metrics struct is materialized through an ``explode(array(...))``
+    plan barrier: a plain two-step select would CollapseProject the struct
+    into all six field extractions and re-tokenize per field."""
+    docs = _par(_t(spark, sf_dir, "documents"))
+    g = docs.select(
+        "doc_id", F.explode(F.array(gopher_metrics(F.col("text")))).alias("g")
+    )
+    return g.select(
+        "doc_id",
+        F.col("g.n_words").alias("n_words"),
+        F.col("g.mean_word_len").alias("mean_word_len"),
+        F.col("g.symbol_ratio").alias("symbol_ratio"),
+        F.col("g.frac_alpha_words").alias("frac_alpha_words"),
+        F.col("g.stop_hits").alias("stop_hits"),
+        gopher_pass(F.col("g"), min_words=25).alias("passes"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_STOPWORDS_SQL = "['the','and','of','to','a','in','is','it','that','was','for','on','with','as','at']"
+
+_GOPHER_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t, {_SQL_TOKENS} AS words FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    greatest(len(words), 1)::DOUBLE AS nf,
+    coalesce(list_aggregate(list_transform(words, x -> length(x)), 'sum'), 0) AS total_len,
+    len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS n_sym,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter(words, x -> list_contains({_GOPHER_STOPWORDS_SQL}, lower(x)))) AS n_stop
+  FROM base
+)
+SELECT doc_id::BIGINT AS doc_id,
+  n_words::INT AS n_words,
+  round(total_len / nf, 6) AS mean_word_len,
+  round(n_sym / nf, 6) AS symbol_ratio,
+  round(n_alpha / nf, 6) AS frac_alpha_words,
+  n_stop::INT AS stop_hits,
+  (n_words BETWEEN 25 AND 100000
+   AND round(total_len / nf, 6) BETWEEN 3.0 AND 10.0
+   AND round(n_sym / nf, 6) <= 0.1
+   AND round(n_alpha / nf, 6) >= 0.8
+   AND n_stop >= 2) AS passes
+FROM m ORDER BY doc_id
+"""
+
+
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters: duplicate-token fraction + most-frequent-bigram
+    mass. Zero-shuffle per-row JVM scans (sorted-array run-length, no
+    explode→groupBy of the corpus token stream)."""
+    docs = _par(_t(spark, sf_dir, "documents"))
+    r = docs.select(
+        "doc_id",
+        dup_token_frac(F.col("text")).alias("dup_token_frac"),
+        F.explode(F.array(top_gram_frac(F.col("text"), 2))).alias("tg"),
+    )
+    return r.select(
+        "doc_id",
+        "dup_token_frac",
+        F.col("tg.top_gram").alias("top_bigram"),
+        F.col("tg.top_count").alias("top_bigram_count"),
+        F.col("tg.n_grams").alias("n_bigrams"),
+        F.col("tg.frac").alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS words FROM documents
+),
+d AS (
+  SELECT doc_id,
+    CASE WHEN len(words) > 0
+         THEN round(1.0 - len(list_distinct(words))::DOUBLE / len(words), 6)
+         ELSE 0.0 END AS dup_token_frac,
+    CASE WHEN len(words) >= 2
+         THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+         ELSE []::VARCHAR[] END AS grams
+  FROM base
+),
+c AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM d) GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+  d.dup_token_frac,
+  t.gram AS top_bigram,
+  coalesce(t.cnt, 0)::BIGINT AS top_bigram_count,
+  len(d.grams)::INT AS n_bigrams,
+  CASE WHEN len(d.grams) > 0 THEN round(t.cnt::DOUBLE / len(d.grams), 6)
+       ELSE 0.0 END AS top_bigram_frac
+FROM d LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token heavy hitters (vocabulary head) via the
+    skew-safe tree top-k (local top-k per fragment, then final rank)."""
+    docs = _par(_t(spark, sf_dir, "documents"))
+    toks = docs.select("lang", F.explode(text_tokens(F.col("text"))).alias("token"))
+    return top_k_per_group(toks, "lang", "token", 5).orderBy("lang", "rank")
+
+
+_TOP_TOKENS_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+c AS (
+  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+),
+r AS (
+  SELECT lang, token, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rank
+  FROM c
+)
+SELECT lang, token, cnt::BIGINT AS cnt, rank::INT AS rank
+FROM r WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1491,6 +1628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_documents": q_url_canonical_documents,
         "langid_documents": q_langid_documents,
         "quality_documents": q_quality_documents,
+        "gopher_quality_documents": q_gopher_quality_documents,
+        "repetition_documents": q_repetition_documents,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
         "token_counts_documents": q_token_counts_documents,
         "fingerprint_documents": q_fingerprint_documents,
     }
@@ -1534,6 +1674,9 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_documents": _url_canonical_sql(),
         "langid_documents": _langid_sql(),
         "quality_documents": _QUALITY_SQL,
+        "gopher_quality_documents": _GOPHER_QUALITY_SQL,
+        "repetition_documents": _REPETITION_SQL,
+        "top_tokens_per_lang": _TOP_TOKENS_SQL,
         "token_counts_documents": _TOKEN_COUNTS_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,
     }

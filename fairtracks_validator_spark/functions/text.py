@@ -137,8 +137,9 @@ def doc_fingerprint(col) -> Column:
     return F.md5(norm)
 
 
-def shingles(col, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (distinct).
+def word_ngrams(col, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-grams as array<string> (space-joined); ``distinct=False`` keeps
+    every occurrence (needed by repetition metrics, which count multiplicity).
 
     The token array is let-bound: referenced raw, the tokenization subtree
     would be embedded n times inside the per-element lambda and re-evaluated
@@ -147,16 +148,157 @@ def shingles(col, n: int = 3) -> Column:
     from .expr import let_
 
     def body(t):
-        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+        # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so a doc with
+        # < n tokens would index element_at(t, 0) → ANSI error. Emit an
+        # empty index array instead.
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
         joined = F.transform(
             idx,
             lambda i: F.concat_ws(
                 " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
             ),
         )
-        return F.array_distinct(joined)
+        return F.array_distinct(joined) if distinct else joined
 
     return let_(tokens(col), body)
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (MinHash input)."""
+    return word_ngrams(col, n, distinct=True)
+
+
+# ---------------------------------------------------------------- quality
+# Gopher-style document quality gates (Rae et al. 2021, §A1.1 — public
+# paper). Per-doc metrics are pure Column expressions (zero shuffle, zero
+# Python); thresholds live in ``gopher_pass`` so callers tune per corpus.
+
+def gopher_metrics(col, stop_lang: str = "en") -> Column:
+    """struct(n_words, mean_word_len, symbol_ratio, frac_alpha_words,
+    stop_hits) per document.
+
+    - ``mean_word_len``: mean characters per whitespace token;
+    - ``symbol_ratio``: (#, …, ellipsis) symbols per word;
+    - ``frac_alpha_words``: fraction of words containing ≥1 [A-Za-z];
+    - ``stop_hits``: count of ``stop_lang`` stopword tokens.
+
+    The token array is let-bound once and shared by all five metrics
+    (CollapseProject would otherwise re-tokenize per metric).
+    """
+    from .expr import let_
+
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
+    sw = STOPWORDS[stop_lang]
+
+    def body(w):
+        n = F.size(w)
+        nf = F.greatest(n, F.lit(1)).cast("double")
+        total_len = F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        n_sym = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+        n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+        n_stop = F.size(F.filter(w, _stopword_pred(sw)))
+        return F.struct(
+            n.alias("n_words"),
+            F.round(total_len / nf, 6).alias("mean_word_len"),
+            F.round(n_sym / nf, 6).alias("symbol_ratio"),
+            F.round(n_alpha / nf, 6).alias("frac_alpha_words"),
+            n_stop.alias("stop_hits"),
+        )
+
+    return let_(tokens(c), body)
+
+
+def gopher_pass(
+    metrics: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_frac_alpha_words: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """Gopher accept/reject verdict from a ``gopher_metrics`` struct.
+
+    Defaults are the published Gopher thresholds; the two line-shape rules
+    (bullet-start / ellipsis-end fractions) need line structure the corpus
+    tables don't carry and are intentionally omitted."""
+    m = metrics
+    return (
+        m["n_words"].between(min_words, max_words)
+        & m["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (m["symbol_ratio"] <= max_symbol_ratio)
+        & (m["frac_alpha_words"] >= min_frac_alpha_words)
+        & (m["stop_hits"] >= min_stop_hits)
+    )
+
+
+# ------------------------------------------------------------- repetition
+# Repetition filters (Rae et al. 2021 §A1.1: "repetitious documents are
+# low quality"): duplicate-token fraction and most-frequent-n-gram mass.
+# Both are per-row JVM expressions — zero shuffle, so at 10^12 docs they
+# cost one map pass; the alternative (explode n-grams → groupBy(doc, gram))
+# would shuffle the entire corpus token stream.
+
+def dup_token_frac(col) -> Column:
+    """1 − |distinct tokens| / |tokens|; 0.0 for empty docs."""
+    from .expr import let_
+
+    def body(w):
+        n = F.size(w)
+        return F.when(n > 0, F.round(
+            F.lit(1.0) - F.size(F.array_distinct(w)) / n.cast("double"), 6
+        )).otherwise(F.lit(0.0))
+
+    return let_(tokens(col), body)
+
+
+def top_gram_frac(col, n: int = 2) -> Column:
+    """struct(top_gram, top_count, n_grams, frac): the most frequent word
+    n-gram and the fraction of all n-gram slots it occupies.
+
+    Single JVM pass per row: sort the (non-distinct) n-gram array, then one
+    ``aggregate`` scan tracks the longest equal-run — O(g log g) per doc,
+    no shuffle, no Python. Ties pick the lexicographically smallest gram
+    (the sort order makes the first maximal run win under strict ``>``).
+    """
+    from .expr import let_
+
+    def scan(grams):
+        sorted_g = F.array_sort(grams)
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit("").alias("best_gram"),
+        )
+
+        def merge(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            better = run > acc["best"]
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.when(better, run).otherwise(acc["best"]).alias("best"),
+                F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+            )
+
+        acc = F.aggregate(sorted_g, zero, merge)
+        n_g = F.size(grams)
+        return F.struct(
+            F.when(n_g > 0, acc["best_gram"]).otherwise(F.lit(None)).alias("top_gram"),
+            acc["best"].alias("top_count"),
+            n_g.alias("n_grams"),
+            F.when(n_g > 0, F.round(acc["best"] / n_g.cast("double"), 6))
+            .otherwise(F.lit(0.0)).alias("frac"),
+        )
+
+    return let_(word_ngrams(col, n, distinct=False), scan)
 
 
 def rolling_fingerprint(col, n: int = 3) -> Column:

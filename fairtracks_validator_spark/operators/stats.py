@@ -139,6 +139,53 @@ def distinct_count_per_group(
     )
 
 
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-``k`` heavy hitters per group (count desc, value asc on
+    ties) → (group, value, cnt, rank).
+
+    Skew-safe tree shape for a 10^12-token corpus: stage 1 counts by
+    ``(group, value)`` — the value salts the dominant group across the
+    cluster, and map-side partial aggregation absorbs hot tokens before the
+    shuffle. A single window over ``group`` would then funnel a whole
+    group's vocabulary (10^7+ distinct tokens for the head language) through
+    one task, so stage 2 takes a LOCAL top-k per (group, shuffle-partition)
+    first — each window partition is a fragment — and the final window only
+    ranks ≤ k·P pre-filtered candidates per group.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.desc("cnt"), F.asc("v")]
+    local_w = Window.partitionBy("g", "_p").orderBy(*order)
+    local = (
+        counts.withColumn("_p", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(local_w))
+        .where(F.col("_r") <= k)
+        .drop("_p", "_r")
+    )
+    final_w = Window.partitionBy("g").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(final_w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("v").alias(value_col),
+            "cnt",
+            "rank",
+        )
+    )
+
+
 def hll_partition_sketches(
     df: DataFrame, column: str, partition_col: str, lg_k: int = 12
 ) -> DataFrame:

@@ -1,0 +1,148 @@
+"""Gopher-style quality gates, repetition metrics, and heavy hitters.
+
+Covers the north-star "training-data pipeline" text ops added in round 3:
+- ``gopher_metrics`` / ``gopher_pass`` (Rae et al. 2021 §A1.1 thresholds)
+- ``dup_token_frac`` / ``top_gram_frac`` (repetition filters)
+- ``word_ngrams`` short-doc guard (sequence(1,0) is DESCENDING in Spark —
+  the ungated form indexed element_at(t, 0) and threw under ANSI mode)
+- ``top_k_per_group`` tree top-k vs a naive single-window reference
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fairtracks_validator_spark.functions.text import (
+    dup_token_frac,
+    gopher_metrics,
+    gopher_pass,
+    shingles,
+    top_gram_frac,
+    word_ngrams,
+)
+from fairtracks_validator_spark.operators.stats import top_k_per_group
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat again"),
+            (2, "a a a a a"),
+            (3, ""),
+            (4, None),
+            (5, "one"),
+            (6, "#### #### ..."),
+        ],
+        "id long, text string",
+    )
+
+
+def _one(df, col):
+    return {r["id"]: r["v"] for r in df.select("id", col.alias("v")).collect()}
+
+
+class TestGopher:
+    def test_metrics_values(self, docs):
+        m = _one(docs, gopher_metrics("text"))
+        r1 = m[1]
+        assert r1["n_words"] == 10
+        assert r1["mean_word_len"] == pytest.approx(31 / 10)
+        assert r1["symbol_ratio"] == 0.0
+        assert r1["frac_alpha_words"] == 1.0
+        assert r1["stop_hits"] == 4  # the, on, the, the
+
+    def test_empty_and_null(self, docs):
+        m = _one(docs, gopher_metrics("text"))
+        for i in (3, 4):
+            assert m[i]["n_words"] == 0
+            assert m[i]["mean_word_len"] == 0.0
+            assert m[i]["frac_alpha_words"] == 0.0
+
+    def test_symbol_ratio(self, docs):
+        m = _one(docs, gopher_metrics("text"))
+        # "#### #### ...": 8 hash symbols + 1 ellipsis over 3 words
+        assert m[6]["symbol_ratio"] == pytest.approx(3.0)
+        assert m[6]["frac_alpha_words"] == 0.0
+
+    def test_pass_thresholds(self, docs):
+        p = _one(docs, gopher_pass(gopher_metrics("text"), min_words=3))
+        assert p[1] is True  # enough words, alpha, stopwords
+        assert p[2] is False  # mean word length 1.0 < 3
+        assert p[3] is False and p[4] is False and p[6] is False
+
+
+class TestRepetition:
+    def test_dup_token_frac(self, docs):
+        d = _one(docs, dup_token_frac("text"))
+        assert d[1] == pytest.approx(1 - 6 / 10)
+        assert d[2] == pytest.approx(1 - 1 / 5)
+        assert d[3] == 0.0 and d[4] == 0.0 and d[5] == 0.0
+
+    def test_top_bigram_tie_breaks_lexicographic(self, docs):
+        t = _one(docs, top_gram_frac("text", 2))
+        # doc 1: "cat sat" and "the cat" both appear twice; smallest wins
+        assert t[1]["top_gram"] == "cat sat"
+        assert t[1]["top_count"] == 2
+        assert t[1]["n_grams"] == 9
+        assert t[1]["frac"] == pytest.approx(round(2 / 9, 6))
+
+    def test_degenerate_docs(self, docs):
+        t = _one(docs, top_gram_frac("text", 2))
+        for i in (3, 4, 5):  # no bigrams at all
+            assert t[i]["top_gram"] is None
+            assert t[i]["top_count"] == 0
+            assert t[i]["frac"] == 0.0
+        assert t[2]["top_gram"] == "a a" and t[2]["top_count"] == 4
+
+
+class TestNgramGuard:
+    def test_short_docs_yield_empty_not_error(self, docs):
+        out = _one(docs, word_ngrams("text", 3, distinct=False))
+        assert out[5] == [] and out[3] == [] and out[4] == []
+        assert len(out[2]) == 3  # 5 tokens -> 3 trigrams
+
+    def test_shingles_still_distinct(self, docs):
+        out = _one(docs, shingles("text", 2))
+        assert sorted(out[2]) == ["a a"]
+
+
+class TestTopKPerGroup:
+    def test_matches_naive_window(self, spark):
+        from pyspark.sql.window import Window
+
+        rows = [
+            ("en", w)
+            for w in (["x"] * 5 + ["y"] * 5 + ["z"] * 3 + ["w"] * 1)
+        ] + [("de", w) for w in (["der"] * 4 + ["und"] * 2)]
+        df = spark.createDataFrame(rows, "lang string, token string").repartition(7)
+
+        got = top_k_per_group(df, "lang", "token", 2)
+        naive = (
+            df.groupBy("lang", "token")
+            .count()
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("lang").orderBy(
+                        F.desc("count"), F.asc("token")
+                    )
+                ),
+            )
+            .where(F.col("rank") <= 2)
+        )
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in naive.select("lang", "token", "count", "rank").collect()
+        }
+        # deterministic tie: x before y at count 5
+        en = {r["rank"]: r["token"] for r in got.where(F.col("lang") == "en").collect()}
+        assert en == {1: "x", 2: "y"}
+
+    def test_partition_invariance(self, spark):
+        rows = [("g", f"t{i % 17}") for i in range(500)]
+        df1 = spark.createDataFrame(rows, "lang string, token string").repartition(2)
+        df13 = spark.createDataFrame(rows, "lang string, token string").repartition(13)
+        r1 = [tuple(r) for r in top_k_per_group(df1, "lang", "token", 3).collect()]
+        r13 = [tuple(r) for r in top_k_per_group(df13, "lang", "token", 3).collect()]
+        assert sorted(r1) == sorted(r13) and len(r1) == 3
