@@ -43,6 +43,10 @@ from fairtracks_validator_spark.operators.drift import (
     ks_2samp_quantile,
 )
 from fairtracks_validator_spark.operators.similarity import cosine_topk, ivf_topk
+from fairtracks_validator_spark.operators.sampling import (
+    stratified_sample,
+    train_val_split,
+)
 from fairtracks_validator_spark.operators.stats import column_profile, top_k_per_group
 from fairtracks_validator_spark.operators.uniqueness import uniqueness_check
 from fairtracks_validator_spark.plans.schema_compile import compile_schema
@@ -1591,6 +1595,49 @@ FROM r WHERE rank <= 5 ORDER BY lang, rank
 """
 
 
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-lang downsampling (head language 50%, de 25%,
+    es kept whole, tail 10%) — map-only, zero shuffle, exact SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang",
+        rates={"en": 0.5, "de": 0.25, "es": 1.0},
+        default_rate=0.1, seed="s1",
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id::BIGINT AS doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|s1'), 1, 15))::BIGINT % 1000000 <
+  CASE lang WHEN 'de' THEN 250000 WHEN 'en' THEN 500000 WHEN 'es' THEN 1000000
+       ELSE 100000 END
+ORDER BY doc_id
+"""
+
+
+def q_train_val_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-stable train/val/test assignment by key hash (10% val,
+    10% test) — reproducible across runs, partitionings, and resumes."""
+    docs = _t(spark, sf_dir, "documents")
+    out = train_val_split(docs, "doc_id", val_frac=0.1, test_frac=0.1, seed="s2")
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+_TRAIN_VAL_SPLIT_SQL = """
+SELECT doc_id::BIGINT AS doc_id,
+  CASE WHEN b < 100000 THEN 'val'
+       WHEN b < 200000 THEN 'test'
+       ELSE 'train' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|s2'), 1, 15))::BIGINT % 1000000 AS b
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1633,6 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens_per_lang": q_top_tokens_per_lang,
         "token_counts_documents": q_token_counts_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "train_val_split_documents": q_train_val_split_documents,
     }
 
 
@@ -1679,4 +1728,6 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens_per_lang": _TOP_TOKENS_SQL,
         "token_counts_documents": _TOKEN_COUNTS_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,
+        "stratified_sample_documents": _STRATIFIED_SAMPLE_SQL,
+        "train_val_split_documents": _TRAIN_VAL_SPLIT_SQL,
     }

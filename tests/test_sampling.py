@@ -1,0 +1,81 @@
+"""Deterministic hash sampling: exactness, stability, stratification."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fairtracks_validator_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    stratified_sample,
+    train_val_split,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 20_000).withColumn(
+        "lang",
+        F.when(F.col("id") % 10 < 7, "en").when(F.col("id") % 10 < 9, "de").otherwise("fr"),
+    )
+
+
+def test_rate_is_close_and_exactly_reproducible(keyed):
+    a = hash_sample(keyed, "id", 0.2, seed="x")
+    b = hash_sample(keyed.repartition(13), "id", 0.2, seed="x")
+    ids_a = {r["id"] for r in a.select("id").collect()}
+    ids_b = {r["id"] for r in b.select("id").collect()}
+    assert ids_a == ids_b  # partition-invariant, not just same count
+    assert 0.2 * 20_000 * 0.9 < len(ids_a) < 0.2 * 20_000 * 1.1
+
+
+def test_seed_changes_selection(keyed):
+    a = {r["id"] for r in hash_sample(keyed, "id", 0.2, seed="x").select("id").collect()}
+    b = {r["id"] for r in hash_sample(keyed, "id", 0.2, seed="y").select("id").collect()}
+    assert a != b
+    # ~rate² overlap, not near-total
+    assert len(a & b) < 0.5 * len(a)
+
+
+def test_rate_bounds(keyed):
+    assert hash_sample(keyed, "id", 0.0).count() == 0
+    assert hash_sample(keyed, "id", 1.0).count() == 20_000
+
+
+def test_stratified_rates(keyed):
+    out = stratified_sample(
+        keyed, "id", "lang", rates={"en": 0.1, "de": 1.0}, default_rate=0.0
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get("fr") is None  # default 0.0 drops the tail stratum
+    assert got["de"] == 4000  # rate 1.0 keeps every row
+    assert 0.05 * 14_000 < got["en"] < 0.15 * 14_000
+
+
+def test_split_entity_stable_and_partitions_cover(spark):
+    # duplicate keys must land in one split (no train/eval leakage)
+    df = spark.range(0, 5000).withColumn("key", F.col("id") % 500)
+    out = train_val_split(df, "key", val_frac=0.2, test_frac=0.1, seed="s")
+    per_key = out.groupBy("key").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in per_key)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5000
+
+
+def test_bucket_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.range(0, 200).select(
+        "id", hash_bucket(F.col("id"), seed="z").alias("b")
+    )
+    got = {(r["id"], r["b"]) for r in df.collect()}
+    exp = {
+        (i, b)
+        for i, b in duckdb.sql(
+            "SELECT i, ('0x' || substr(md5(i::VARCHAR || '|z'), 1, 15))::BIGINT % 1000000 "
+            "FROM range(200) t(i)"
+        ).fetchall()
+    }
+    assert got == exp
