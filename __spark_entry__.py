@@ -43,6 +43,7 @@ from fairtracks_validator_spark.operators.drift import (
     ks_2samp_quantile,
 )
 from fairtracks_validator_spark.operators.similarity import cosine_topk, ivf_topk
+from fairtracks_validator_spark.functions.pii import pii_counts, redact_pii
 from fairtracks_validator_spark.operators.sampling import (
     stratified_sample,
     train_val_split,
@@ -1638,6 +1639,62 @@ ORDER BY doc_id
 """
 
 
+def q_pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: plant synthetic emails/IPs/phones into every 25th doc
+    (the corpus itself is clean — a 0-count result would prove nothing),
+    then count and redact. Output carries md5(redacted) so the oracle
+    byte-compares the full redacted text without shipping it."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org or +4915123456789 at 192.168.0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = docs.select("doc_id", planted.alias("t"))
+    c = pii_counts(F.col("t"))
+    return t.select(
+        "doc_id",
+        c["n_email"].alias("n_email"),
+        c["n_ipv4"].alias("n_ipv4"),
+        c["n_phone"].alias("n_phone"),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE_RE = r"\+\d{7,15}\b"
+
+_PII_REDACT_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id,
+    coalesce(text, '') ||
+    CASE WHEN doc_id % 25 = 0
+         THEN ' reach user' || doc_id::VARCHAR ||
+              '@example.org or +4915123456789 at 192.168.0.' ||
+              (doc_id % 250)::VARCHAR
+         ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+  len(regexp_extract_all(t, '{_PII_EMAIL_RE}'))::INT AS n_email,
+  len(regexp_extract_all(t, '{_PII_IPV4_RE}'))::INT AS n_ipv4,
+  len(regexp_extract_all(t, '{_PII_PHONE_RE}'))::INT AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      '{_PII_EMAIL_RE}', '<PII>', 'g'),
+      '{_PII_IPV4_RE}', '<PII>', 'g'),
+      '{_PII_PHONE_RE}', '<PII>', 'g')) AS redacted_hash
+FROM corpus ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1682,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "train_val_split_documents": q_train_val_split_documents,
+        "pii_redact_documents": q_pii_redact_documents,
     }
 
 
@@ -1730,4 +1788,5 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": _FINGERPRINT_SQL,
         "stratified_sample_documents": _STRATIFIED_SAMPLE_SQL,
         "train_val_split_documents": _TRAIN_VAL_SPLIT_SQL,
+        "pii_redact_documents": _PII_REDACT_SQL,
     }
