@@ -51,6 +51,10 @@ HEADLINE = [
     "ivf_ann_embeddings",
     "langid_documents",
     "quality_documents",
+    "gopher_quality_documents",
+    "repetition_documents",
+    "top_tokens_per_lang",
+    "pii_redact_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "1000000"))

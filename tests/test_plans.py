@@ -152,3 +152,52 @@ def test_quantile_profile_single_aggregate(spark):
     txt = _plan_str(df)
     assert txt.count("Scan parquet") == 1
     assert "Join" not in txt
+
+
+def test_repetition_and_gopher_zero_shuffle(spark):
+    """The per-row quality/repetition kernels must not shuffle row data:
+    the only Exchange allowed is the final orderBy's range partitioning,
+    and nothing may fall back to Python."""
+    import __spark_entry__ as entrymod
+
+    for name in ("gopher_quality_documents", "repetition_documents"):
+        df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+        txt = _plan_str(df)
+        body = txt.split("rangepartitioning")[0]  # everything below the sort
+        assert "Exchange hashpartitioning" not in body, (name, txt)
+        assert "EvalPython" not in txt, name
+
+
+def test_top_k_per_group_partial_aggregation(spark):
+    """Tree top-k: the count stage must partial-aggregate map-side (two
+    HashAggregate levels around one exchange) so hot tokens collapse before
+    the shuffle; no more than 3 hash exchanges total (count + two windows)."""
+    from fairtracks_validator_spark.operators.stats import top_k_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from fairtracks_validator_spark.functions.text import tokens
+
+    toks = docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    df = top_k_per_group(toks, "lang", "token", 5)
+    txt = _plan_str(df)
+    assert txt.count("HashAggregate") >= 2
+    assert txt.count("Exchange hashpartitioning") <= 3, txt
+    assert "EvalPython" not in txt
+
+
+def test_sampling_is_map_only(spark):
+    """hash_sample/train_val_split: pure filter/project over the scan —
+    no Exchange of any kind, no Python."""
+    from fairtracks_validator_spark.operators.sampling import (
+        hash_sample,
+        train_val_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        hash_sample(docs, "doc_id", 0.25, seed="p"),
+        train_val_split(docs, "doc_id", 0.1),
+    ):
+        txt = _plan_str(df)
+        assert "Exchange" not in txt, txt
+        assert "EvalPython" not in txt
