@@ -1010,6 +1010,103 @@ FROM reach GROUP BY s ORDER BY id
 """
 
 
+def q_dedup_keep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection: dedup clusters × quality scores → per-member
+    keep/drop verdict (argmax quality, min id on ties — originals beat
+    their suffixed clones only via the tie-break when quality rounds
+    equal, so the tie path is genuinely exercised)."""
+    from fairtracks_validator_spark.operators.dedup import (
+        dedup_components,
+        resolve_keepers,
+    )
+
+    docs = _docs_with_clones(spark, sf_dir, suffix=" extra extra")
+    cands = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = verify_jaccard(cands, docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = dedup_components(pairs)
+    scores = docs.select(
+        F.col("doc_id").alias("id"), quality_score(F.col("text")).alias("q")
+    )
+    out = resolve_keepers(comps, scores, id_col="id", score_col="q")
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster_rep",
+        F.col("q").alias("quality"), "keep",
+    ).orderBy("doc_id")
+
+
+def _dedup_keep_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cand_cte()},
+sets AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+vp AS (
+  SELECT c.ia AS id_a, c.ib AS id_b
+  FROM cand c JOIN sets x ON x.id = c.ia JOIN sets y ON y.id = c.ib
+  WHERE ROUND(len(list_intersect(x.shingles, y.shingles)) * 1.0
+              / (len(x.shingles) + len(y.shingles)
+                 - len(list_intersect(x.shingles, y.shingles))), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM vp
+  UNION
+  SELECT id_b AS s, id_a AS d FROM vp
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+clusters AS (
+  SELECT s AS id, LEAST(s, MIN(d)) AS cluster_rep FROM reach GROUP BY s
+),
+qm AS (
+  SELECT doc_id, coalesce(text, '') AS t, {_SQL_TOKENS} AS words FROM corpus
+),
+qs AS (
+  SELECT doc_id,
+    ROUND(
+      0.4 * least(len(words) / 20.0, 1.0)
+      + 0.4 * (CASE WHEN len(words) > 0
+               THEN len(list_filter(words, x -> regexp_matches(x, '^[A-Za-z]+$'))) * 1.0 / len(words)
+               ELSE 0.0 END)
+      + 0.2 * (1.0 - least((CASE WHEN length(t) > 0
+                            THEN len(regexp_extract_all(t, '[^\\sA-Za-z0-9_]')) * 1.0 / length(t)
+                            ELSE 1.0 END) * 4, 1.0)), 6) AS q
+  FROM qm
+),
+ranked AS (
+  SELECT c.id, c.cluster_rep, qs.q,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY qs.q DESC, c.id ASC) AS rn
+  FROM clusters c JOIN qs ON qs.doc_id = c.id
+)
+SELECT id::BIGINT AS doc_id, cluster_rep::BIGINT AS cluster_rep,
+       q AS quality, (rn = 1) AS keep
+FROM ranked ORDER BY doc_id
+"""
+
+
+def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM scoring (mean token log-probability)."""
+    from fairtracks_validator_spark.operators.scoring import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_UNIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab)
+SELECT t.id::BIGINT AS doc_id,
+       round(avg(ln(v.cnt / tot.total)), 4) AS logprob,
+       count(*)::BIGINT AS n_tokens
+FROM tok t JOIN vocab v USING (token), tot
+GROUP BY t.id ORDER BY doc_id
+"""
+
+
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par(_t(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
     return docs.select(
@@ -1723,6 +1820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_dups": q_minhash_verified_dups,
         "containment_verified_dups": q_containment_verified_dups,
         "dedup_clusters_documents": q_dedup_clusters_documents,
+        "dedup_keep_documents": q_dedup_keep_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
         "simhash_documents": q_simhash_documents,
         "simhash_neardup_documents": q_simhash_neardup_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -1772,6 +1871,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_dups": _minhash_verified_sql(),
         "containment_verified_dups": _containment_verified_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
+        "dedup_keep_documents": _dedup_keep_sql(),
+        "unigram_logprob_documents": _UNIGRAM_LOGPROB_SQL,
         "simhash_documents": _SIMHASH_SQL,
         "simhash_neardup_documents": _SIMHASH_NEARDUP_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,

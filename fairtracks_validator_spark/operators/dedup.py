@@ -724,3 +724,35 @@ def _sign_lsh_key(vec, planes: int, dim: int):
         )
         key = key * 2 + F.when(s > 0, 1).otherwise(0)
     return key
+
+
+def resolve_keepers(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick the document to KEEP per duplicate cluster: highest score,
+    smallest id on ties → components columns + ``keep`` boolean.
+
+    ``components`` is ``dedup_components`` output (``(id, cluster_rep)``);
+    ``scores`` carries one quality score per id (e.g. ``quality_score``).
+    The argmax is a single ``max(struct(score, -id))`` aggregation — no
+    window, no sort; every relation touched is cluster-membership-sized
+    (output-sized after LSH→verify), never corpus-sized.
+    """
+    j = components.join(scores, id_col)
+    best = j.groupBy("cluster_rep").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).cast("long").alias("nid"),
+            )
+        ).alias("b")
+    )
+    keep = best.select("cluster_rep", (-F.col("b.nid")).alias("_keep_id"))
+    return (
+        j.join(keep, "cluster_rep")
+        .withColumn("keep", F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id")
+    )

@@ -1,0 +1,51 @@
+"""resolve_keepers (dedup keeper selection) and unigram_logprob."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from fairtracks_validator_spark.operators.dedup import resolve_keepers
+from fairtracks_validator_spark.operators.scoring import unigram_logprob
+
+
+def test_keeper_argmax_and_tiebreak(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "id long, cluster_rep long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: id=2 wins on score; cluster 10: tie -> min id (10) wins
+        [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.4), (11, 0.4)],
+        "id long, score double",
+    )
+    out = resolve_keepers(comps, scores)
+    kept = {r["id"] for r in out.collect() if r["keep"]}
+    assert kept == {2, 10}
+    # every member still present, exactly one keeper per cluster
+    assert out.count() == 5
+    per_cluster = {
+        r["cluster_rep"]: r["n"]
+        for r in out.where("keep")
+        .groupBy("cluster_rep")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_cluster == {1: 1, 10: 1}
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: "a a b" + "b c" -> counts a=2 b=2 c=1, total=5
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    lp = lambda c: math.log(c / 5.0)
+    assert out[1]["logprob"] == pytest.approx(
+        round((lp(2) + lp(2) + lp(2)) / 3, 4)
+    )
+    assert out[2]["logprob"] == pytest.approx(round((lp(2) + lp(1)) / 2, 4))
+    assert out[2]["n_tokens"] == 2
+    assert 3 not in out  # empty doc has no tokens, no row
