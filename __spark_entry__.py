@@ -1792,6 +1792,62 @@ FROM corpus ORDER BY doc_id
 """
 
 
+def q_training_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline: Gopher gate → exact dedup →
+    50% hash sample → 20% val split. One shuffle end-to-end."""
+    from fairtracks_validator_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = prepare_training_corpus(docs, "doc_id", "text")
+    return out.select("doc_id", "lang", "split").orderBy("doc_id")
+
+
+_TRAINING_PIPELINE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, coalesce(text, '') AS t, {_SQL_TOKENS} AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    greatest(len(words), 1)::DOUBLE AS nf,
+    coalesce(list_aggregate(list_transform(words, x -> length(x)), 'sum'), 0) AS total_len,
+    len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS n_sym,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter(words, x -> list_contains({_GOPHER_STOPWORDS_SQL}, lower(x)))) AS n_stop
+  FROM base
+),
+passed AS (
+  SELECT b.doc_id, b.lang, b.t
+  FROM base b JOIN m USING (doc_id)
+  WHERE m.n_words BETWEEN 25 AND 100000
+    AND round(m.total_len / m.nf, 6) BETWEEN 3.0 AND 10.0
+    AND round(m.n_sym / m.nf, 6) <= 0.1
+    AND round(m.n_alpha / m.nf, 6) >= 0.8
+    AND m.n_stop >= 2
+),
+kept AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+    FROM passed
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT doc_id, lang FROM kept
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|pipe'), 1, 15))::BIGINT % 1000000
+        < 500000
+)
+SELECT doc_id::BIGINT AS doc_id, lang,
+  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '|pipe-split'), 1, 15))::BIGINT
+            % 1000000 < 200000
+       THEN 'val' ELSE 'train' END AS split
+FROM sampled ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1839,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "train_val_split_documents": q_train_val_split_documents,
         "pii_redact_documents": q_pii_redact_documents,
+        "training_pipeline_documents": q_training_pipeline_documents,
     }
 
 
@@ -1890,4 +1947,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_documents": _STRATIFIED_SAMPLE_SQL,
         "train_val_split_documents": _TRAIN_VAL_SPLIT_SQL,
         "pii_redact_documents": _PII_REDACT_SQL,
+        "training_pipeline_documents": _TRAINING_PIPELINE_SQL,
     }

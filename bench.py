@@ -55,6 +55,7 @@ HEADLINE = [
     "repetition_documents",
     "top_tokens_per_lang",
     "pii_redact_documents",
+    "unigram_logprob_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "1000000"))

@@ -49,3 +49,38 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[2]["logprob"] == pytest.approx(round((lp(2) + lp(1)) / 2, 4))
     assert out[2]["n_tokens"] == 2
     assert 3 not in out  # empty doc has no tokens, no row
+
+
+def test_training_pipeline_stages(spark):
+    from fairtracks_validator_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog on a sunny day in town"
+    rows = (
+        [(i, good + f" case {i}") for i in range(100)]  # unique, pass gate
+        + [(100 + i, good + " case 0") for i in range(5)]  # exact dups of id 0
+        + [(200, "a a a"), (201, "")]  # fail the gate
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_training_corpus(
+        df, "doc_id", "text", min_words=5, sample_rate=1.0, val_frac=0.2
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 200 not in ids and 201 not in ids  # gate
+    assert ids & set(range(100, 105)) == set()  # dups dropped, first kept
+    assert 0 in ids and len(ids) == 100
+    splits = {r["split"] for r in out.collect()}
+    assert splits <= {"train", "val"} and len(splits) == 2
+
+
+def test_training_pipeline_single_shuffle(spark):
+    from fairtracks_validator_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = prepare_training_corpus(docs, "doc_id", "text")
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    assert txt.count("Exchange hashpartitioning") == 1, txt
+    assert "EvalPython" not in txt
