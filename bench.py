@@ -56,6 +56,7 @@ HEADLINE = [
     "top_tokens_per_lang",
     "pii_redact_documents",
     "unigram_logprob_documents",
+    "training_pipeline_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "1000000"))

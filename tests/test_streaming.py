@@ -212,3 +212,44 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_quality_gate_runs_in_stream(spark, tmp_path):
+    """The text-quality surface (gopher gate, repetition, PII redaction,
+    split stamping) is stateless Column logic — it must run unchanged on a
+    readStream and match the batch result row-for-row."""
+    import pyspark.sql.functions as F
+
+    from fairtracks_validator_spark.functions.pii import redact_pii
+    from fairtracks_validator_spark.functions.text import (
+        dup_token_frac,
+        gopher_metrics,
+        gopher_pass,
+    )
+    from fairtracks_validator_spark.operators.sampling import train_val_split
+
+    src = str(tmp_path / "qsrc")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(200).write.parquet(src)
+
+    def xform(df):
+        out = df.select(
+            "doc_id",
+            gopher_pass(gopher_metrics("text"), min_words=25).alias("passes"),
+            F.round(dup_token_frac("text"), 6).alias("dup_frac"),
+            F.md5(redact_pii("text")).alias("red_hash"),
+        )
+        return train_val_split(out, "doc_id", val_frac=0.2, seed="st")
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        xform(stream)
+        .writeStream.format("memory")
+        .queryName("quality_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from quality_stream").collect()}
+    exp = {tuple(r) for r in xform(spark.read.parquet(src)).collect()}
+    assert got == exp and len(got) == 200
