@@ -42,3 +42,38 @@ def test_parquet_roundtrip_via_table_api(spark, tmp_path):
     write_table(df, p, mode="overwrite")
     got = read_table(spark, p)
     assert {(r["id"], r["v"]) for r in got.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Same-key same-count bucketed tables must join with ZERO Exchange —
+    the co-location contract that deletes the FK-probe shuffle at scale."""
+    import pyspark.sql.functions as F
+
+    from fairtracks_validator_spark.sources.tables import write_bucketed
+
+    corpus = spark.range(0, 10_000).select(
+        F.concat(F.lit("https://d"), (F.col("id") % 97), F.lit(".ex/p"), F.col("id"))
+        .alias("url"),
+        (F.col("id") % 7).alias("x"),
+    )
+    registry = corpus.select("url").distinct().withColumn("seen", F.lit(True))
+    write_bucketed(corpus, "bk_corpus", "url", buckets=8,
+                   path=str(tmp_path / "bk_corpus"))
+    write_bucketed(registry, "bk_registry", "url", buckets=8,
+                   path=str(tmp_path / "bk_registry"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bk_corpus").join(
+                spark.table("bk_registry"), "url", "left_anti"
+            )
+            txt = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in txt, txt
+            assert "SortMergeJoin" in txt
+            assert joined.count() == 0  # every url is registered
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_corpus")
+        spark.sql("DROP TABLE IF EXISTS bk_registry")
