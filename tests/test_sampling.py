@@ -79,3 +79,16 @@ def test_bucket_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_nested_samples_are_monotone(spark):
+    """sample(r1) ⊆ sample(r2) for r1 < r2 — threshold semantics make
+    samples nested, so a 1% pilot is always a subset of the 10% run
+    (progressive scale-up without rescanning discarded rows)."""
+    df = spark.range(0, 5000)
+    prev: set = set()
+    for rate in (0.01, 0.05, 0.2, 0.6, 1.0):
+        cur = {r["id"] for r in hash_sample(df, "id", rate, seed="n").collect()}
+        assert prev <= cur
+        prev = cur
+    assert prev == set(range(5000))

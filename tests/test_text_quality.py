@@ -146,3 +146,31 @@ class TestTopKPerGroup:
         r1 = [tuple(r) for r in top_k_per_group(df1, "lang", "token", 3).collect()]
         r13 = [tuple(r) for r in top_k_per_group(df13, "lang", "token", 3).collect()]
         assert sorted(r1) == sorted(r13) and len(r1) == 3
+
+
+def test_repetition_invariants_random_corpus(spark):
+    """Invariants over a seeded random corpus: frac·n_grams == top_count
+    (mod rounding), 0 ≤ dup_frac < 1, top_count ≤ n_grams."""
+    import random
+
+    rng = random.Random(0)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = df.select(
+        "id",
+        dup_token_frac("text").alias("d"),
+        top_gram_frac("text", 2).alias("t"),
+    ).collect()
+    for r in out:
+        t = r["t"]
+        assert 0.0 <= r["d"] < 1.0
+        assert t["top_count"] <= t["n_grams"]
+        if t["n_grams"] > 0:
+            assert t["frac"] == pytest.approx(t["top_count"] / t["n_grams"], abs=1e-6)
+            assert t["top_gram"] is not None
+        else:
+            assert t["top_count"] == 0 and t["frac"] == 0.0
