@@ -43,8 +43,43 @@ def main(argv: list[str] | None = None) -> int:
                    help="process at most K incomplete partitions this run")
     v.add_argument("--run-id", default="cli")
 
+    p = sub.add_parser(
+        "prepare",
+        help="training-corpus prep: quality gate -> dedup -> sample -> split",
+    )
+    p.add_argument("--input", required=True, help="parquet path / table")
+    p.add_argument("--out", required=True, help="output parquet path / table")
+    p.add_argument("--id-col", default="url")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--sample-rate", type=float, default=1.0)
+    p.add_argument("--val-frac", type=float, default=0.1)
+    p.add_argument("--seed", default="pipe")
+
     args = ap.parse_args(argv)
     spark = get_spark(app_name="ftval-cli")
+
+    if args.cmd == "prepare":
+        from .operators.pipeline import prepare_training_corpus
+        from .sources.tables import read_table, write_table
+
+        out = prepare_training_corpus(
+            read_table(spark, args.input),
+            args.id_col,
+            args.text_col,
+            min_words=args.min_words,
+            sample_rate=args.sample_rate,
+            val_frac=args.val_frac,
+            seed=args.seed,
+        )
+        write_table(out, args.out, mode="overwrite")
+        written = spark.read.parquet(args.out) if "/" in args.out else out
+        counts = {
+            r["split"]: r["n"]
+            for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({"rows": sum(counts.values()), "splits": counts}))
+        return 0
 
     with open(args.schema) as f:
         schema = json.load(f)

@@ -81,3 +81,32 @@ def test_cli_default_ord_distinguishes_identical_dup_rows(spark, tmp_path, capsy
     dup = viol.where(viol.check_id == "pk").collect()
     # exactly one of the two identical u1 rows is blamed as the duplicate
     assert len(dup) == 1 and dup[0]["source"] == "u1"
+
+
+def test_cli_prepare_subcommand(spark, tmp_path):
+    from fairtracks_validator_spark.cli import main
+
+    out = str(tmp_path / "prep_out")
+    rc = main([
+        "prepare",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+        "--id-col", "doc_id", "--text-col", "text",
+        "--min-words", "25", "--sample-rate", "0.5", "--val-frac", "0.2",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) >= {"doc_id", "text", "split"}
+    n = got.count()
+    assert 0 < n < 500  # gate + 50% sample removed rows
+    # deterministic: same inputs -> identical output set
+    out2 = str(tmp_path / "prep_out2")
+    main([
+        "prepare", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out2, "--id-col", "doc_id", "--text-col", "text",
+        "--min-words", "25", "--sample-rate", "0.5", "--val-frac", "0.2",
+    ])
+    a = {(r["doc_id"], r["split"]) for r in got.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"])
+         for r in spark.read.parquet(out2).select("doc_id", "split").collect()}
+    assert a == b
