@@ -1848,6 +1848,40 @@ FROM sampled ORDER BY doc_id
 """
 
 
+def q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing (seq_len=512, 8 buckets): every
+    doc gets a deterministic (bucket, seq_id, seq_offset) slot."""
+    from fairtracks_validator_spark.operators.pipeline import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tok", seq_len=512, buckets=8, seed="pk"
+    ).orderBy("doc_id")
+
+
+_PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({_SQL_TOKENS}) AS n_tok,
+    ((('0x' || substr(md5(doc_id::VARCHAR || '|pk'), 1, 15))::BIGINT % 1000000) % 8)
+      AS bucket
+  FROM documents
+),
+c AS (
+  SELECT doc_id, bucket, n_tok,
+    coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS s
+  FROM t
+)
+SELECT doc_id::BIGINT AS doc_id, bucket::INT AS bucket,
+       (s // 512)::BIGINT AS seq_id, (s % 512)::INT AS seq_offset,
+       n_tok::INT AS n_tokens
+FROM c ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1896,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split_documents": q_train_val_split_documents,
         "pii_redact_documents": q_pii_redact_documents,
         "training_pipeline_documents": q_training_pipeline_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
     }
 
 
@@ -1948,4 +1983,5 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split_documents": _TRAIN_VAL_SPLIT_SQL,
         "pii_redact_documents": _PII_REDACT_SQL,
         "training_pipeline_documents": _TRAINING_PIPELINE_SQL,
+        "pack_sequences_documents": _PACK_SEQUENCES_SQL,
     }

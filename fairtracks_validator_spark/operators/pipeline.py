@@ -50,3 +50,46 @@ def prepare_training_corpus(
     )
     sampled = hash_sample(kept, id_col, sample_rate, seed=seed)
     return train_val_split(sampled, id_col, val_frac, seed=seed + "-split")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    buckets: int = 256,
+    seed: str = "pack",
+) -> DataFrame:
+    """Concat-then-split sequence packing: assign every document a
+    (bucket, seq_id, seq_offset) slot in a virtual stream of fixed
+    ``seq_len``-token training sequences.
+
+    Documents are hash-bucketed (deterministic, entity-stable), ordered by
+    id inside each bucket, virtually concatenated, and cut every
+    ``seq_len`` tokens; ``seq_id``/``seq_offset`` locate the doc's FIRST
+    token (a doc may straddle a cut — the consumer continues into seq_id+1,
+    standard concat-then-split semantics). One window cumsum per bucket:
+    with 10^12 docs and ≥256 buckets no single task sees more than a
+    1/buckets slice, and packing is reproducible under any partitioning —
+    the slot is a pure function of (corpus, seed).
+    """
+    from .sampling import hash_bucket
+
+    b = F.pmod(hash_bucket(F.col(id_col), seed), F.lit(buckets))
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(n_tokens_col).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("_b", b)
+        .withColumn("_start", start)
+        .select(
+            F.col(id_col),
+            F.col("_b").cast("int").alias("bucket"),
+            F.floor(F.col("_start") / seq_len).alias("seq_id"),
+            F.pmod(F.col("_start"), F.lit(seq_len)).cast("int").alias("seq_offset"),
+            F.col(n_tokens_col).alias("n_tokens"),
+        )
+    )

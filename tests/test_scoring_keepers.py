@@ -84,3 +84,35 @@ def test_training_pipeline_single_shuffle(spark):
     txt = out._jdf.queryExecution().executedPlan().toString()
     assert txt.count("Exchange hashpartitioning") == 1, txt
     assert "EvalPython" not in txt
+
+
+def test_pack_sequences_semantics(spark):
+    from fairtracks_validator_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(50)], "doc_id long, n_tok int"
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", seq_len=250, buckets=1, seed="t")
+    rows = sorted(
+        (r["doc_id"], r["seq_id"], r["seq_offset"]) for r in out.collect()
+    )
+    # 100-token docs into 250-token seqs: starts 0,100,200,300,... →
+    # seq_id = (100*i)//250, offset = (100*i) % 250
+    assert rows == [(i, (100 * i) // 250, (100 * i) % 250) for i in range(50)]
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from fairtracks_validator_spark.operators.pipeline import pack_sequences
+
+    base = [(i, 1 + i % 37) for i in range(1000)]
+    a = pack_sequences(
+        spark.createDataFrame(base, "doc_id long, n_tok int").repartition(3),
+        "doc_id", "n_tok", 128, buckets=4,
+    )
+    b = pack_sequences(
+        spark.createDataFrame(base, "doc_id long, n_tok int").repartition(17),
+        "doc_id", "n_tok", 128, buckets=4,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # every bucket's offsets stay inside [0, seq_len)
+    assert a.where("seq_offset < 0 or seq_offset >= 128").count() == 0
