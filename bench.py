@@ -57,6 +57,7 @@ HEADLINE = [
     "pii_redact_documents",
     "unigram_logprob_documents",
     "training_pipeline_documents",
+    "pack_sequences_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "1000000"))
