@@ -92,3 +92,22 @@ def test_nested_samples_are_monotone(spark):
         assert prev <= cur
         prev = cur
     assert prev == set(range(5000))
+
+
+def test_split_on_pages_url_key_entity_stable(spark):
+    """North-rule shape: string url keys; duplicated urls (the pages
+    generator plants dup_rate reused urls) must land in ONE split."""
+    from fairtracks_validator_spark.operators.sampling import train_val_split
+    from fairtracks_validator_spark.sources.pages import pages
+
+    df = pages(spark, 20_000, dup_rate=0.05)
+    out = train_val_split(df, "url", val_frac=0.15, seed="pg")
+    bad = (
+        out.groupBy("url")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert bad == 0
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 0.10 < counts["val"] / 20_000 < 0.20
