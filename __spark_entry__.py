@@ -1882,6 +1882,39 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_split_balance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split QA: chi-square independence of lang × split after the hash
+    split — statistical evidence the entity-stable split is representative
+    (composition of train_val_split and the drift machinery)."""
+    docs = _t(spark, sf_dir, "documents")
+    split = train_val_split(docs, "doc_id", val_frac=0.2, seed="s2")
+    return chi_square(split, "lang", "split")
+
+
+_SPLIT_BALANCE_SQL = """
+WITH base AS (
+  SELECT CAST(lang AS VARCHAR) b,
+    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '|s2'), 1, 15))::BIGINT
+              % 1000000 < 200000
+         THEN 'val' ELSE 'train' END AS g
+  FROM documents WHERE lang IS NOT NULL
+), cells AS (SELECT b, g, COUNT(*)::BIGINT o FROM base GROUP BY b, g),
+rt AS (SELECT b, SUM(o) row_n FROM cells GROUP BY b),
+ct AS (SELECT g, SUM(o) col_n FROM cells GROUP BY g),
+n AS (SELECT SUM(o) n FROM cells),
+full_t AS (
+  SELECT rt.b, ct.g, COALESCE(cells.o, 0) o, rt.row_n, ct.col_n, n.n,
+         rt.row_n * ct.col_n * 1.0 / n.n e
+  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.b = rt.b AND cells.g = ct.g
+  CROSS JOIN n
+)
+SELECT MIN(n)::BIGINT AS n,
+       ((COUNT(DISTINCT b) - 1) * (COUNT(DISTINCT g) - 1))::BIGINT AS dof,
+       ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2
+FROM full_t
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1931,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_documents": q_pii_redact_documents,
         "training_pipeline_documents": q_training_pipeline_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
+        "split_balance_documents": q_split_balance_documents,
     }
 
 
@@ -1984,4 +2018,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact_documents": _PII_REDACT_SQL,
         "training_pipeline_documents": _TRAINING_PIPELINE_SQL,
         "pack_sequences_documents": _PACK_SEQUENCES_SQL,
+        "split_balance_documents": _SPLIT_BALANCE_SQL,
     }
