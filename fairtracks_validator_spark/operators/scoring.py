@@ -25,12 +25,28 @@ def unigram_logprob(
     id_col: str,
     text_col: str,
     round_digits: int = 4,
+    max_vocab: int | None = None,
+    oov_logprob: float | None = None,
 ) -> DataFrame:
     """(id, logprob, n_tokens) for every doc with ≥1 token.
 
     ``logprob`` = mean over tokens of ln(count(token) / total_tokens),
     rounded to ``round_digits`` (float sum order varies across partitions;
     4 digits absorbs it — same contract as the windowed event sums).
+
+    Two execution shapes:
+
+    - ``max_vocab=None`` (exact): joins the exploded token stream against
+      the full vocabulary and re-aggregates per doc — two shuffles OF THE
+      TOKEN STREAM. Right for oracle parity and moderate corpora; at
+      10^12 docs the token stream is ~10^15 rows and both shuffles hurt.
+    - ``max_vocab=K`` (the scale path): the top-K vocabulary (count desc,
+      token asc — deterministic) folds into a ``map_from_arrays`` literal
+      and each doc scores ITSELF with one ``aggregate`` over its token
+      array — zero shuffle, zero Python, same fold philosophy as the
+      ontology term checks. Out-of-vocabulary tokens take ``oov_logprob``
+      (default: uniform mass ln(1/total)). Identical to exact when
+      K ≥ |vocab|.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -38,12 +54,43 @@ def unigram_logprob(
     )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("t")).collect()[0]["t"] or 0
+    totf = float(max(total, 1))
+
+    if max_vocab is not None:
+        import math
+
+        top = vocab.orderBy(F.desc("cnt"), F.asc("token")).limit(max_vocab).collect()
+        keys = [r["token"] for r in top]
+        vals = [round(math.log(r["cnt"] / totf), 10) for r in top]
+        oov = float(oov_logprob if oov_logprob is not None else math.log(1.0 / totf))
+        lp_map = F.map_from_arrays(
+            F.lit(keys).cast("array<string>"), F.lit(vals).cast("array<double>")
+        )
+        toks_arr = tokens(F.col(text_col))
+        n = F.size(toks_arr)
+        s = F.aggregate(
+            F.transform(
+                toks_arr,
+                lambda t: F.coalesce(F.try_element_at(lp_map, t), F.lit(oov)),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return (
+            df.where(n > 0)
+            .select(
+                F.col(id_col),
+                F.round(s / n, round_digits).alias("logprob"),
+                n.cast("long").alias("n_tokens"),
+            )
+        )
+
     scored = toks.join(vocab, "token")
     return (
         scored.groupBy("id")
         .agg(
             F.round(
-                F.avg(F.log(F.col("cnt") / F.lit(float(max(total, 1))))),
+                F.avg(F.log(F.col("cnt") / F.lit(totf))),
                 round_digits,
             ).alias("logprob"),
             F.count(F.lit(1)).alias("n_tokens"),

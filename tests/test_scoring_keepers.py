@@ -116,3 +116,32 @@ def test_pack_sequences_partition_invariant(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     # every bucket's offsets stay inside [0, seq_len)
     assert a.where("seq_offset < 0 or seq_offset >= 128").count() == 0
+
+
+def test_unigram_folded_matches_exact_when_vocab_covers(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], "doc_id long, text string"
+    )
+    exact = {
+        (r["doc_id"], r["logprob"], r["n_tokens"])
+        for r in unigram_logprob(df, "doc_id", "text").collect()
+    }
+    folded = {
+        (r["doc_id"], r["logprob"], r["n_tokens"])
+        for r in unigram_logprob(df, "doc_id", "text", max_vocab=100).collect()
+    }
+    assert folded == exact
+
+
+def test_unigram_folded_zero_shuffle_and_oov(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b zzz")], "doc_id long, text string"
+    )
+    out = unigram_logprob(df, "doc_id", "text", max_vocab=1, oov_logprob=-9.0)
+    txt = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in txt  # folded map: map-only scoring
+    import math
+    rows = {r["doc_id"]: r["logprob"] for r in out.collect()}
+    # vocab truncated to top-1 ("a", cnt 2 of 5); everything else -> -9.0
+    assert rows[1] == round((math.log(2 / 5) * 2 - 9.0) / 3, 4)
+    assert rows[2] == round((-9.0 - 9.0) / 2, 4)
