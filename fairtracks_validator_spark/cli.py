@@ -56,8 +56,54 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--val-frac", type=float, default=0.1)
     p.add_argument("--seed", default="pipe")
 
+    d = sub.add_parser(
+        "dedup",
+        help="near-dup removal: LSH candidates -> exact verify -> clusters -> keepers",
+    )
+    d.add_argument("--input", required=True, help="parquet path / table")
+    d.add_argument("--out", required=True, help="output parquet path / table")
+    d.add_argument("--id-col", default="url")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.8, help="Jaccard cutoff")
+    d.add_argument("--num-hashes", type=int, default=8)
+    d.add_argument("--bands", type=int, default=4)
+    d.add_argument("--shingle-n", type=int, default=3)
+
     args = ap.parse_args(argv)
     spark = get_spark(app_name="ftval-cli")
+
+    if args.cmd == "dedup":
+        from .functions.text import quality_score
+        from .operators.dedup import (
+            dedup_components,
+            minhash_lsh_candidates,
+            resolve_keepers,
+            verify_jaccard,
+        )
+        from .sources.tables import read_table, write_table
+
+        docs = read_table(spark, args.input)
+        cands = minhash_lsh_candidates(
+            docs, args.id_col, args.text_col,
+            num_hashes=args.num_hashes, bands=args.bands, shingle_n=args.shingle_n,
+        )
+        pairs = verify_jaccard(
+            cands, docs, args.id_col, args.text_col,
+            n=args.shingle_n, threshold=args.threshold,
+        )
+        comps = dedup_components(pairs)
+        scores = docs.select(
+            F.col(args.id_col).alias("id"),
+            quality_score(F.col(args.text_col)).alias("q"),
+        )
+        out = resolve_keepers(comps, scores, id_col="id", score_col="q").select(
+            F.col("id").alias(args.id_col), "cluster_rep", "keep"
+        )
+        write_table(out, args.out, mode="overwrite")
+        members = out.count()
+        dropped = out.where(~F.col("keep")).count()
+        print(json.dumps({"cluster_members": members, "dropped": dropped}))
+        return 0
 
     if args.cmd == "prepare":
         from .operators.pipeline import prepare_training_corpus

@@ -110,3 +110,35 @@ def test_cli_prepare_subcommand(spark, tmp_path):
     b = {(r["doc_id"], r["split"])
          for r in spark.read.parquet(out2).select("doc_id", "split").collect()}
     assert a == b
+
+
+def test_cli_dedup_subcommand(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from fairtracks_validator_spark.cli import main
+
+    # corpus with planted near-dup clones (ids 9000xx duplicate low ids)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clones = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra extra")).alias("text"),
+    )
+    src = str(tmp_path / "dedup_src")
+    docs.select("doc_id", "text").unionByName(clones).write.parquet(src)
+
+    out = str(tmp_path / "dedup_out")
+    rc = main([
+        "dedup", "--input", src, "--out", out,
+        "--id-col", "doc_id", "--text-col", "text", "--threshold", "0.5",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "cluster_rep", "keep"}
+    # every planted clone clusters with its original; one keeper per cluster
+    reps = {r["doc_id"]: r["cluster_rep"] for r in got.collect()}
+    for i in range(10):
+        assert reps.get(900000 + i) == reps.get(i) == i
+    keepers = got.groupBy("cluster_rep").agg(
+        F.sum(F.col("keep").cast("int")).alias("k")
+    ).collect()
+    assert all(r["k"] == 1 for r in keepers)
