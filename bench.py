@@ -90,6 +90,28 @@ def _pages_throughput(spark) -> tuple[float, float]:
     return best, n / best
 
 
+def _pages_prep_throughput(spark) -> tuple[float, float]:
+    """Corpus-prep docs/sec over the same pages table: Gopher gate →
+    exact dedup → 50% sample → train/val split (the one-shuffle pipeline).
+    Same best-of-3 discipline as the validation probe."""
+    from fairtracks_validator_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from fairtracks_validator_spark.sources.pages import pages
+
+    df = pages(spark, PAGES_BENCH_ROWS)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        prepare_training_corpus(
+            df, "url", "text", min_words=20, sample_rate=0.5, val_frac=0.1
+        ).count()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+    return best, PAGES_BENCH_ROWS / best
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -114,6 +136,8 @@ def main():
 
     pages_sec, pages_docs_per_sec = _pages_throughput(spark)
     times["pages_validation"] = round(pages_sec, 3)
+    prep_sec, prep_docs_per_sec = _pages_prep_throughput(spark)
+    times["pages_corpus_prep"] = round(prep_sec, 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -127,6 +151,7 @@ def main():
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pages_docs_per_sec": round(pages_docs_per_sec, 1),
+                "pages_prep_docs_per_sec": round(prep_docs_per_sec, 1),
             }
         )
     )
