@@ -1915,6 +1915,51 @@ FROM full_t
 """
 
 
+def q_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured validation: the events.props JSON string column is
+    parsed IN-PLAN (from_json — no Python, corrupt payloads become absent
+    properties) and validated like any table. Violations are planted:
+    every 97th event gets k=-5 (range), every 89th gets non-JSON
+    (required)."""
+    ev = _t(spark, sf_dir, "events")
+    props2 = (
+        F.when(F.col("event_id") % 97 == 0, F.lit('{"k": -5}'))
+        .when(F.col("event_id") % 89 == 0, F.lit("not json"))
+        .otherwise(F.col("props"))
+    )
+    parsed = ev.select(
+        F.col("event_id").cast("string").alias("source"),
+        F.col("event_id").cast("long").alias("ord"),
+        F.from_json(props2, "k int").getField("k").alias("k"),
+    )
+    plan = compile_schema(
+        {
+            "$id": "props/1.0",
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 0}},
+        }
+    )
+    res = validate_corpus({"props/1.0": (plan, parsed)})
+    return res.violations.select("source", "check_id").orderBy("source", "check_id")
+
+
+_VALIDATE_EVENTS_PROPS_SQL = """
+WITH p AS (
+  SELECT event_id,
+    CASE WHEN event_id % 97 = 0 THEN -5
+         WHEN event_id % 89 = 0 THEN NULL
+         ELSE (props->>'$.k')::INT END AS k
+  FROM events
+)
+SELECT CAST(event_id AS VARCHAR) AS source, 'required:k' AS check_id
+FROM p WHERE k IS NULL
+UNION ALL
+SELECT CAST(event_id AS VARCHAR) AS source, 'minimum:k' AS check_id
+FROM p WHERE k IS NOT NULL AND k < 0
+ORDER BY source, check_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1922,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_documents_draft7": q_validate_documents_draft7,
         "validate_multischema": q_validate_multischema,
         "validate_documents_formats": q_validate_documents_formats,
+        "validate_events_props": q_validate_events_props,
         "pk_dup_orders_custkey": q_pk_dup_orders_custkey,
         "fk_missing_events_user": q_fk_missing_events_user,
         "profile_orders": q_profile_orders,
@@ -1974,6 +2020,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_documents_draft7": _VALIDATE_DRAFT7_SQL,
         "validate_multischema": _VALIDATE_MULTISCHEMA_SQL,
         "validate_documents_formats": _validate_formats_sql(),
+        "validate_events_props": _VALIDATE_EVENTS_PROPS_SQL,
         "pk_dup_orders_custkey": _PK_DUP_ORDERS_SQL,
         "fk_missing_events_user": _FK_MISSING_EVENTS_SQL,
         "profile_orders": _profile_sql("orders", ["o_custkey", "o_totalprice", "o_orderdate"]),
