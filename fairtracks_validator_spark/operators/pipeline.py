@@ -33,12 +33,22 @@ def prepare_training_corpus(
     sample_rate: float = 0.5,
     val_frac: float = 0.2,
     seed: str = "pipe",
+    min_stop_hits: int = 2,
 ) -> DataFrame:
     """Filter → dedup → sample → split; returns surviving rows with a
     ``split`` column. Deterministic end-to-end: re-runs, resumes, and
-    different partitionings produce byte-identical output."""
+    different partitionings produce byte-identical output.
+
+    ``min_stop_hits``: the Gopher stopword-presence rule. Set 0 for
+    corpora whose language profile isn't covered by the stopword tables
+    (e.g. the synthetic pages vocabulary) — otherwise the gate rejects
+    every document and the pipeline runs on nothing."""
     passed = df.where(
-        gopher_pass(gopher_metrics(F.col(text_col)), min_words=min_words)
+        gopher_pass(
+            gopher_metrics(F.col(text_col)),
+            min_words=min_words,
+            min_stop_hits=min_stop_hits,
+        )
     )
     h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())

