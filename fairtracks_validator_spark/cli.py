@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="url")
     p.add_argument("--text-col", default="text")
     p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--min-stop-hits", type=int, default=2,
+                   help="Gopher stopword rule; 0 for corpora outside the "
+                        "stopword tables (otherwise nothing passes)")
     p.add_argument("--sample-rate", type=float, default=1.0)
     p.add_argument("--val-frac", type=float, default=0.1)
     p.add_argument("--seed", default="pipe")
@@ -83,26 +86,82 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.tables import read_table, write_table
 
         docs = read_table(spark, args.input)
+        # The dedup operators key on a LONG id (their label-propagation sum
+        # probe and pair ordering are numeric). String keys (url!) would hit
+        # ANSI CAST_INVALID_INPUT — stamp a hash surrogate and verify it is
+        # injective on this corpus (an exact distinct-count pair; a silent
+        # collision would wrongly merge two documents' identities).
+        id_type = dict(docs.dtypes).get(args.id_col)
+        numeric = id_type in ("tinyint", "smallint", "int", "bigint")
+        if numeric:
+            work, wid = docs, args.id_col
+            id_map = None
+        else:
+            work = docs.withColumn("_nid", F.xxhash64(F.col(args.id_col)))
+            counts = work.agg(
+                F.countDistinct(args.id_col).alias("ids"),
+                F.countDistinct("_nid").alias("hashes"),
+            ).first()
+            if counts["hashes"] != counts["ids"]:
+                print(f"ERROR: xxhash64 collision on --id-col {args.id_col}; "
+                      "supply a numeric id column", file=sys.stderr)
+                return 2
+            wid = "_nid"
+            id_map = work.select(
+                F.col("_nid"), F.col(args.id_col).alias("_orig")
+            ).distinct()
         cands = minhash_lsh_candidates(
-            docs, args.id_col, args.text_col,
+            work, wid, args.text_col,
             num_hashes=args.num_hashes, bands=args.bands, shingle_n=args.shingle_n,
         )
         pairs = verify_jaccard(
-            cands, docs, args.id_col, args.text_col,
+            cands, work, wid, args.text_col,
             n=args.shingle_n, threshold=args.threshold,
         )
         comps = dedup_components(pairs)
-        scores = docs.select(
-            F.col(args.id_col).alias("id"),
-            quality_score(F.col(args.text_col)).alias("q"),
+        scores = work.select(
+            F.col(wid).alias("id"), quality_score(F.col(args.text_col)).alias("q")
         )
-        out = resolve_keepers(comps, scores, id_col="id", score_col="q").select(
-            F.col("id").alias(args.id_col), "cluster_rep", "keep"
-        )
+        out = resolve_keepers(comps, scores, id_col="id", score_col="q")
+        if id_map is not None:
+            # restore the caller's ids for both the member and its rep
+            out = (
+                out.join(id_map.withColumnRenamed("_nid", "id"), "id")
+                .join(
+                    id_map.select(
+                        F.col("_nid").alias("cluster_rep"),
+                        F.col("_orig").alias("_rep_orig"),
+                    ),
+                    "cluster_rep",
+                )
+                .select(
+                    F.col("_orig").alias(args.id_col),
+                    F.col("_rep_orig").alias("cluster_rep"),
+                    "keep",
+                )
+            )
+        else:
+            out = out.select(
+                F.col("id").alias(args.id_col), "cluster_rep", "keep"
+            )
         write_table(out, args.out, mode="overwrite")
-        members = out.count()
-        dropped = out.where(~F.col("keep")).count()
-        print(json.dumps({"cluster_members": members, "dropped": dropped}))
+        # one pass over the WRITTEN table (re-counting `out` would re-run
+        # the whole pipeline twice, code-review r3)
+        from .sources.tables import is_catalog_table
+
+        written = (
+            read_table(spark, args.out)
+            if ("/" in args.out or is_catalog_table(spark, args.out))
+            else out
+        )
+        agg = written.agg(
+            F.count(F.lit(1)).alias("members"),
+            F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+        ).first()
+        print(json.dumps({
+            "cluster_members": agg["members"],
+            "dropped": agg["dropped"] or 0,
+        }))
         return 0
 
     if args.cmd == "prepare":
@@ -114,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
             args.id_col,
             args.text_col,
             min_words=args.min_words,
+            min_stop_hits=args.min_stop_hits,
             sample_rate=args.sample_rate,
             val_frac=args.val_frac,
             seed=args.seed,
@@ -124,6 +184,10 @@ def main(argv: list[str] | None = None) -> int:
             r["split"]: r["n"]
             for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()
         }
+        if not counts:
+            print("WARNING: 0 rows survived the quality gate — for corpora "
+                  "outside the stopword tables pass --min-stop-hits 0",
+                  file=sys.stderr)
         print(json.dumps({"rows": sum(counts.values()), "splits": counts}))
         return 0
 

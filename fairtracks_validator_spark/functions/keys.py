@@ -61,7 +61,10 @@ def jpath_values(jpath: str) -> Column:
     elif idx0 == "":
         nodes = F.coalesce(col0, F.array())
     else:
-        nodes = F.array(col0.getItem(int(idx0)))
+        # F.get, not getItem: 0-based AND null (not ANSI
+        # INVALID_ARRAY_INDEX) when the array is shorter than the index —
+        # a short array means the element is absent, same as a null path.
+        nodes = F.array(F.get(col0, int(idx0)))
     nodes = F.filter(nodes, lambda x: x.isNotNull())
 
     # NB: Spark counts a Python lambda's parameters (defaults included) to
@@ -71,7 +74,7 @@ def jpath_values(jpath: str) -> Column:
         return lambda x: x.getField(n)
 
     def _get_item(n, i):
-        return lambda x: x.getField(n).getItem(i)
+        return lambda x: F.get(x.getField(n), i)
 
     for name, idx in steps[1:]:
         if idx is None:

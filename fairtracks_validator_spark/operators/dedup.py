@@ -519,7 +519,7 @@ def dedup_components(
     )
     # convergence probe: min-propagation strictly DECREASES the label sum
     # until the fixpoint, so one cheap sum per round replaces a join+count.
-    prev_sum = labels.agg(F.sum("rep")).first()[0]
+    prev_sum = labels.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).first()[0]
     converged = False
 
     for _ in range(max_iter):
@@ -533,7 +533,7 @@ def dedup_components(
             .select("id", F.least("rep", F.coalesce("nbr_rep", "rep")).alias("rep"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("rep")).first()[0]
+        new_sum = labels.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).first()[0]
         if new_sum == prev_sum:
             converged = True
             break
@@ -659,10 +659,17 @@ def embedding_neardup_pairs(
     v = v.withColumn("norm", norm).where(F.col("norm") > 0)
 
     if block_planes > 0:
-        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        # probe the DOMINANT dimension over the norm-filtered vectors (one
+        # tiny aggregation): a null/empty/malformed first raw row must not
+        # zero the dim or veto the whole corpus (code-review r3) — norm>0
+        # already excluded null/empty vectors, and the mode is stable under
+        # any physical row order.
+        probe = (
+            v.groupBy(F.size("vec").alias("d")).count()
+            .orderBy(F.desc("count"), F.asc("d")).first()
+        )
         if probe is None or probe["d"] is None or probe["d"] <= 0:
-            # empty input (or null first vector): no pairs, don't crash on
-            # the dimension probe (ADVICE r2)
+            # empty input: no pairs, don't crash on the dimension probe
             return df.sparkSession.createDataFrame(
                 [], "id_a long, id_b long, cosine double"
             )

@@ -63,25 +63,36 @@ def unigram_logprob(
         keys = [r["token"] for r in top]
         vals = [round(math.log(r["cnt"] / totf), 10) for r in top]
         oov = float(oov_logprob if oov_logprob is not None else math.log(1.0 / totf))
+        from ..functions.expr import let_
+
         lp_map = F.map_from_arrays(
             F.lit(keys).cast("array<string>"), F.lit(vals).cast("array<double>")
         )
-        toks_arr = tokens(F.col(text_col))
-        n = F.size(toks_arr)
-        s = F.aggregate(
-            F.transform(
-                toks_arr,
-                lambda t: F.coalesce(F.try_element_at(lp_map, t), F.lit(oov)),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
+
+        def score(t):
+            # one tokenization, shared by the sum and the count (let_ +
+            # explode barrier below — CollapseProject would otherwise
+            # re-tokenize per reference, code-review r3)
+            s = F.aggregate(
+                F.transform(
+                    t,
+                    lambda x: F.coalesce(F.try_element_at(lp_map, x), F.lit(oov)),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            return F.struct(s.alias("s"), F.size(t).alias("n"))
+
+        r = df.select(
+            F.col(id_col),
+            F.explode(F.array(let_(tokens(F.col(text_col)), score))).alias("r"),
         )
         return (
-            df.where(n > 0)
+            r.where(F.col("r.n") > 0)
             .select(
                 F.col(id_col),
-                F.round(s / n, round_digits).alias("logprob"),
-                n.cast("long").alias("n_tokens"),
+                F.round(F.col("r.s") / F.col("r.n"), round_digits).alias("logprob"),
+                F.col("r.n").cast("long").alias("n_tokens"),
             )
         )
 

@@ -164,6 +164,17 @@ def kmeans_fit(
     # persist for the duration of training, released before returning
     sample = v.where(F.col("id") % stride == 0).persist()
     m = sample.count()
+    if m == 0:
+        # id % stride only samples DENSE sequential ids; sparse/hash-valued
+        # ids (all odd, 64-bit hashes, ...) can miss entirely and divide by
+        # k=0 below (code-review r3). Fall back to a hash stride — uniform
+        # for any id distribution, still deterministic. The dense-id path
+        # stays first because the value oracle replicates `id % stride`.
+        sample.unpersist()
+        sample = v.where(F.pmod(F.xxhash64("id"), F.lit(stride)) == 0).persist()
+        m = sample.count()
+    if m == 0:
+        raise ValueError("kmeans_fit: sampling selected no rows")
     k = min(k, m)
     step = max(1, m // k)
 

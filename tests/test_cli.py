@@ -142,3 +142,37 @@ def test_cli_dedup_subcommand(spark, tmp_path):
         F.sum(F.col("keep").cast("int")).alias("k")
     ).collect()
     assert all(r["k"] == 1 for r in keepers)
+
+
+def test_cli_dedup_string_url_ids(spark, tmp_path):
+    """README scenario: --id-col url (string). The surrogate-id path must
+    detect clusters and restore the original urls in the output."""
+    import pyspark.sql.functions as F
+
+    from fairtracks_validator_spark.cli import main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.select(
+        F.concat(F.lit("https://ex.com/p"), F.col("doc_id")).alias("url"), "text"
+    )
+    clones = base.where(F.col("url").endswith("p7") | F.col("url").endswith("p8")).select(
+        F.concat(F.col("url"), F.lit("-dup")).alias("url"),
+        F.concat(F.col("text"), F.lit(" extra extra")).alias("text"),
+    )
+    src = str(tmp_path / "durl_src")
+    base.unionByName(clones).write.parquet(src)
+
+    out = str(tmp_path / "durl_out")
+    rc = main([
+        "dedup", "--input", src, "--out", out,
+        "--id-col", "url", "--text-col", "text", "--threshold", "0.5",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    rows = {r["url"]: (r["cluster_rep"], r["keep"]) for r in got.collect()}
+    assert rows  # urls restored, string-typed
+    assert all(isinstance(u, str) and u.startswith("https://") for u in rows)
+    # each planted clone shares a cluster_rep with its original
+    for stem in ("https://ex.com/p7", "https://ex.com/p8"):
+        assert stem in rows and stem + "-dup" in rows
+        assert rows[stem][0] == rows[stem + "-dup"][0]

@@ -208,3 +208,31 @@ def test_if_boolean_then_branch(spark):
     )
     got = rows_set(df.select("id", plan.checks[0].ok.alias("ok")))
     assert got == {(1, True), (2, False)}
+
+
+def test_jpath_numeric_index_short_array_is_absent(spark):
+    """a[2] on a 1-element (or empty) array must be ABSENT, not an ANSI
+    INVALID_ARRAY_INDEX crash (code-review r3): F.get semantics."""
+    import pyspark.sql.functions as F
+
+    from fairtracks_validator_spark.functions.keys import jpath_values
+
+    df = spark.createDataFrame(
+        [(1, ["x", "y", "z"]), (2, ["only"]), (3, []), (4, None)],
+        "id long, a array<string>",
+    )
+    got = {r["id"]: r["v"] for r in df.select("id", jpath_values("a[2]").alias("v")).collect()}
+    assert got == {1: ["z"], 2: [], 3: [], 4: []}
+
+
+def test_jpath_nested_numeric_index_short_inner_array(spark):
+    import pyspark.sql.functions as F
+
+    from fairtracks_validator_spark.functions.keys import jpath_values
+
+    df = spark.createDataFrame(
+        [(1, [{"b": ["p", "q"]}]), (2, [{"b": []}]), (3, [{"b": None}])],
+        "id long, a array<struct<b: array<string>>>",
+    )
+    got = {r["id"]: r["v"] for r in df.select("id", jpath_values("a[].b[1]").alias("v")).collect()}
+    assert got == {1: ["q"], 2: [], 3: []}
