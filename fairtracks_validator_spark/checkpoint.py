@@ -113,6 +113,7 @@ class CheckpointedValidation:
             for r in regs[1:]:
                 reg_all = reg_all.unionByName(r)
             reg_all.write.mode("overwrite").parquet(self.registry_dir)
+            res.release()  # registry committed; drop the run's caches
 
         # ---- todo partitions
         done = set(self.completed_partitions(spark))
@@ -171,15 +172,28 @@ class CheckpointedValidation:
                     )
                 )
 
-        failed = violations.select("source", "ord").distinct().withColumn("_f", F.lit(True))
+        # null-safe joins on source: a null key row (null url) must still
+        # pair with its own violations and carry its part_id — plain equi
+        # joins drop it, marking the row validated and parking its
+        # violations in a part_id=-1 blob that dynamic overwrite clobbers
+        # per batch (code-review r3). ord is positionally stamped non-null
+        # and unique, so eqNullSafe on source cannot fan out.
+        failed = violations.select(
+            F.col("source").alias("_fsrc"), F.col("ord").alias("_ford")
+        ).distinct().withColumn("_f", F.lit(True))
+        base = subset.select(
+            F.col(source_col).alias("source"),
+            F.col(ord_col).cast("long").alias("ord"),
+            F.lit(plan.schema_id).alias("schema_id"),
+            F.col("part_id"),
+        )
         verdicts = (
-            subset.select(
-                F.col(source_col).alias("source"),
-                F.col(ord_col).cast("long").alias("ord"),
-                F.lit(plan.schema_id).alias("schema_id"),
-                F.col("part_id"),
+            base.join(
+                failed,
+                base["source"].eqNullSafe(failed["_fsrc"])
+                & (base["ord"] == failed["_ford"]),
+                "left",
             )
-            .join(failed, ["source", "ord"], "left")
             .select(
                 "source", "ord", "schema_id",
                 F.coalesce(~F.col("_f"), F.lit(True)).alias("validated"),
@@ -190,11 +204,18 @@ class CheckpointedValidation:
             )
         )
         part_of = subset.select(
-            F.col(source_col).alias("source"), F.col(ord_col).cast("long").alias("ord"),
+            F.col(source_col).alias("_psrc"), F.col(ord_col).cast("long").alias("_pord"),
             "part_id",
         )
-        viol_out = violations.join(part_of, ["source", "ord"], "left").na.fill(
-            {"part_id": -1}
+        viol_out = (
+            violations.join(
+                part_of,
+                violations["source"].eqNullSafe(part_of["_psrc"])
+                & (violations["ord"] == part_of["_pord"]),
+                "left",
+            )
+            .drop("_psrc", "_pord")
+            .na.fill({"part_id": -1})
         )
 
         verdicts.write.mode("overwrite").partitionBy("part_id").parquet(self.verdicts_dir)
@@ -222,14 +243,22 @@ class CheckpointedValidation:
         done_viol = spark.read.schema(viol_ddl).parquet(
             self.violations_dir
         ).where(F.col("part_id").isin(todo))
+        # EVERY todo partition gets a lineage row — a 0-row partition is
+        # legitimately complete; deriving lineage from verdict rows alone
+        # left empty partitions eternally "incomplete" and livelocked
+        # resumable max_partitions runs (code-review r3)
+        todo_df = spark.createDataFrame([(int(p),) for p in todo], "part_id int")
         stats = (
-            done_verdicts.groupBy("part_id")
-            .agg(F.count(F.lit(1)).alias("rows_scanned"))
+            todo_df.join(
+                done_verdicts.groupBy("part_id")
+                .agg(F.count(F.lit(1)).alias("rows_scanned")),
+                "part_id", "left",
+            )
             .join(
                 done_viol.groupBy("part_id").agg(F.count(F.lit(1)).alias("violations")),
                 "part_id", "left",
             )
-            .na.fill({"violations": 0})
+            .na.fill({"rows_scanned": 0, "violations": 0})
             .select(
                 "part_id", "rows_scanned", "violations",
                 F.lit(wall / max(len(todo), 1)).alias("wall_time_s"),
@@ -238,6 +267,7 @@ class CheckpointedValidation:
             )
         )
         stats.write.mode("append").parquet(self.lineage_dir)
+        res.release()  # outputs committed; drop this batch's caches
         return {"processed": todo, "skipped": sorted(done), "wall_time_s": wall}
 
 

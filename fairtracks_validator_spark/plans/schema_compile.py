@@ -447,9 +447,10 @@ def _walk(
                 )
             )
 
+    # required/dependencies do NOT need a properties dict — draft-07 allows
+    # `{"required": ["a"]}` alone, and dropping it silently weakens the
+    # schema (code-review r3: this returned before the loops below)
     props = schema.get("properties")
-    if not isinstance(props, dict):
-        return
     dotted = (prefix + ".") if prefix else ""
 
     for r in schema.get("required", []) or []:
@@ -476,6 +477,8 @@ def _walk(
                             "the array-of-property-names form is supported — "
                             "not enforced")
 
+    if not isinstance(props, dict):
+        return
     for name, sub in props.items():
         if not isinstance(sub, dict):
             continue
@@ -503,6 +506,16 @@ def _subschema_pred(
     if tmp.join_checks or tmp.uniques or tmp.fks:
         _warn(plan, f"combinator subschema at {path} declares join/uniqueness/FK "
                     "constraints — not supported inside combinators, ignored")
+    # the scratch plan's jpaths/warnings must surface on the real plan:
+    # drift alignment pads from plan.jpaths, so a path referenced only
+    # inside a combinator branch would otherwise FIELD_NOT_FOUND at
+    # analysis instead of reading as absent (code-review r3)
+    for p, ddl in tmp.jpaths.items():
+        if plan.jpaths.get(p) is None:
+            plan.jpaths[p] = ddl
+    for w in tmp.warnings:
+        if w not in plan.warnings:
+            plan.warnings.append(w)
     return checks_pass_predicate(tmp.checks)
 
 

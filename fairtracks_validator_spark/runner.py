@@ -50,6 +50,19 @@ class ValidationResult:
     verdicts: DataFrame  # source, ord, schema_id, validated boolean
     violations: DataFrame  # VIOLATION_SCHEMA
     pk_registries: dict[tuple[str, str], DataFrame] = field(default_factory=dict)
+    _persisted: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist every relation this run cached. Call after the last
+        action on verdicts/violations/registries — a long-lived session
+        looping validation batches otherwise accumulates cached relations
+        until eviction pressure degrades everything else (code-review r3)."""
+        for p in self._persisted:
+            try:
+                p.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
 
     def summary(self) -> dict[str, int]:
         """docs / failed-docs / violation counts in ONE Spark action.
@@ -107,6 +120,51 @@ def _null_ddl_for_steps(steps: list[tuple[str, str | None]]) -> str:
     return f"array<{t}>" if idx0 is not None else t
 
 
+def _merged_null_ddl(root_name: str, plan: ValidationPlan) -> str:
+    """DDL for an absent root column covering EVERY plan jPath under it.
+
+    Padding from one path's shape alone breaks sibling paths — `a` padded
+    as plain string leaves `a.b` unresolvable (code-review r3) — so the
+    shapes of all paths rooted at ``root_name`` merge into one nested
+    struct; a path's explicit DDL hint (map-encoded objects) becomes that
+    position's leaf type."""
+    from .functions.keys import _parse_jpath
+
+    def new_node():
+        return {"leaf": None, "children": {}}
+
+    tree = new_node()
+    root_is_arr = False
+    for path, hint in (plan.jpaths or {}).items():
+        try:
+            steps = _parse_jpath(path)
+        except ValueError:
+            continue
+        if steps[0][0] != root_name:
+            continue
+        if steps[0][1] is not None:
+            root_is_arr = True
+        node = tree
+        for name, idx in steps[1:]:
+            child = node["children"].setdefault(name, [idx is not None, new_node()])
+            child[0] = child[0] or idx is not None
+            node = child[1]
+        if hint:
+            node["leaf"] = hint
+
+    def render(node):
+        if node["children"]:
+            fields = ",".join(
+                f"{name}:" + (f"array<{render(c[1])}>" if c[0] else render(c[1]))
+                for name, c in sorted(node["children"].items())
+            )
+            return f"struct<{fields}>"
+        return node["leaf"] or "string"
+
+    t = render(tree)
+    return f"array<{t}>" if root_is_arr else t
+
+
 def align_to_plan(df: DataFrame, plan: ValidationPlan) -> DataFrame:
     """Schema-drift tolerance: every jPath the plan references must RESOLVE
     against ``df`` — the reference treats an absent property as "no value"
@@ -131,7 +189,7 @@ def align_to_plan(df: DataFrame, plan: ValidationPlan) -> DataFrame:
             continue
         root, _ridx = steps[0]
         if root not in cols:
-            ddl = plan.jpaths.get(path) or _null_ddl_for_steps(steps)
+            ddl = _merged_null_ddl(root, plan) or _null_ddl_for_steps(steps)
             _w.warn(
                 f"document column {root!r} (for schema path {path!r}) is "
                 f"absent from the table — treating as null ({plan.schema_id}; "
@@ -188,6 +246,7 @@ def validate_corpus(
     """
     spark = next(iter(corpus.values()))[1].sparkSession
     empty_violations = spark.createDataFrame([], VIOLATION_SCHEMA)
+    persisted: list = []  # released by ValidationResult.release()
 
     # schema-drift alignment: plan-referenced paths must resolve (absent ⇒
     # typed null column ⇒ reference "property absent" semantics)
@@ -222,6 +281,7 @@ def validate_corpus(
         schema_viol = apply_checks(
             df, plan.checks, plan.join_checks, schema_id, source_col, ord_col
         ).persist()
+        persisted.append(schema_viol)
         if not plan.join_checks:
             # pass-1 mask as a pure predicate — no anti-join, no shuffle
             survivors = df.where(checks_pass_predicate(plan.checks))
@@ -285,6 +345,7 @@ def validate_corpus(
                     # size-gate the broadcast hint — a huge registry must go
                     # through sort-merge/AQE, never a forced broadcast.
                     pk = pk.persist()
+                    persisted.append(pk)
                     pk_registries[key] = pk
                     n = pk.count()
                     pk_empty[key] = (n == 0, n <= BROADCAST_MAX_PK_KEYS)
@@ -312,6 +373,7 @@ def validate_corpus(
     violations = _union_all(
         all_p1_violations + all_p2_violations, empty_violations
     ).persist()
+    persisted.append(violations)
 
     # ---------------- verdicts -------------------------------------------------
     verdict_parts = []
@@ -336,7 +398,8 @@ def validate_corpus(
         .withColumn("status", F.when(F.col("validated"), "ok").otherwise("failed"))
     )
     return ValidationResult(
-        verdicts=verdicts, violations=violations, pk_registries=pk_registries
+        verdicts=verdicts, violations=violations, pk_registries=pk_registries,
+        _persisted=persisted,
     )
 
 
@@ -406,9 +469,15 @@ def _validate_fused(
 
     all_ok = checks_pass_predicate(plan.checks)
     entries = check_entries(plan.checks)
-    fails = F.when(
-        ~all_ok, F.filter(F.array(*entries), lambda e: ~e.getField("ok"))
-    )
+    _entry_ddl = "array<struct<check_id:string,ok:boolean,message:string>>"
+    if entries:
+        fails = F.when(
+            ~all_ok, F.filter(F.array(*entries), lambda e: ~e.getField("ok"))
+        )
+    else:
+        # PK-only plan: F.array() is array<void> and getField on it fails
+        # at analysis (code-review r3) — no row checks means no fails
+        fails = F.lit(None).cast(_entry_ddl)
     uq = plan.uniques[0] if plan.uniques else None
 
     cols = [

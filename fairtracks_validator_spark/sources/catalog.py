@@ -160,13 +160,20 @@ def schema_id_column(df: DataFrame, parent: str | None = PARENT_SCHEMA_KEY):
     _schema, $schema)`` with the reference's key priority, restricted to the
     columns that actually exist in ``df`` (JSON inference only materializes
     keys that occur)."""
+    from pyspark.sql import types as T
+
     cols = set(df.columns)
     candidates = []
     if parent and parent in cols:
-        parent_fields = {f.name for f in df.schema[parent].dataType.fields}
-        for k in ALT_SCHEMA_KEYS:
-            if k in parent_fields:
-                candidates.append(F.col(f"`{parent}`.`{k}`"))
+        parent_type = df.schema[parent].dataType
+        # a non-struct parent (corpus where fair_tracks inferred as a
+        # scalar) carries no discriminator — fall through to the top-level
+        # keys instead of AttributeError (code-review r3)
+        if isinstance(parent_type, T.StructType):
+            parent_fields = {f.name for f in parent_type.fields}
+            for k in ALT_SCHEMA_KEYS:
+                if k in parent_fields:
+                    candidates.append(F.col(f"`{parent}`.`{k}`"))
     for k in ALT_SCHEMA_KEYS:
         if k in cols:
             candidates.append(F.col(f"`{k}`"))

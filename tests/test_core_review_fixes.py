@@ -1,0 +1,127 @@
+"""Regression tests for the round-3 core code-review findings."""
+
+from __future__ import annotations
+
+import warnings
+
+import pyspark.sql.functions as F
+import pytest
+
+from fairtracks_validator_spark.plans.schema_compile import compile_schema
+from fairtracks_validator_spark.runner import validate_corpus
+
+
+def _docs(spark, rows, ddl):
+    df = spark.createDataFrame(rows, ddl)
+    return df.withColumn("source", F.col("id").cast("string")).withColumn(
+        "ord", F.col("id").cast("long")
+    )
+
+
+def test_required_without_properties_enforced(spark):
+    """`{"required": ["a"]}` with no properties dict must still compile the
+    required check (was silently dropped)."""
+    plan = compile_schema({"$id": "s/1", "type": "object", "required": ["a"]})
+    assert any("required" in c.check_id for c in plan.checks)
+    docs = _docs(spark, [(1, "x"), (2, None)], "id long, a string")
+    res = validate_corpus({"s/1": (plan, docs)})
+    bad = {r["source"] for r in res.violations.collect()}
+    assert bad == {"2"}
+
+
+def test_pk_only_plan_runs_fused(spark):
+    """A plan with a primary key and zero row checks must not crash the
+    fused path (F.filter over array<void>)."""
+    plan = compile_schema({"$id": "s/2", "primary_key": ["k"], "properties": {}})
+    docs = _docs(spark, [(1, "a"), (2, "a"), (3, "b")], "id long, k string")
+    res = validate_corpus({"s/2": (plan, docs)})
+    dup = [r for r in res.violations.collect()]
+    assert len(dup) == 1 and dup[0]["source"] == "2"
+
+
+def test_absent_root_with_nested_paths_pads_struct(spark):
+    """Absent root column referenced at both 'a' and 'a.b' must pad as a
+    struct deep enough for the nested path (was padded as string -> crash)."""
+    plan = compile_schema(
+        {"$id": "s/3", "properties": {"a": {"properties": {"b": {"type": "string"}}, "required": ["b"]}},
+         "required": ["a"]}
+    )
+    docs = _docs(spark, [(1, "t")], "id long, other string")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = validate_corpus({"s/3": (plan, docs)})
+        checks = {r["check_id"] for r in res.violations.collect()}
+    assert "required:a" in checks  # absent column = required violation
+
+
+def test_combinator_only_path_survives_drift(spark):
+    """Paths referenced only inside anyOf branches must reach plan.jpaths
+    so drift alignment can pad them (was FIELD_NOT_FOUND)."""
+    plan = compile_schema(
+        {
+            "$id": "s/4",
+            "properties": {
+                "p": {"anyOf": [
+                    {"properties": {"x": {"const": "1"}}, "required": ["x"]},
+                    {"properties": {"y": {"const": "2"}}, "required": ["y"]},
+                ]}
+            },
+        }
+    )
+    assert any(p.startswith("p.") for p in plan.jpaths)
+    docs = spark.createDataFrame([(1, ("1",))], "id long, p struct<x: string>")
+    docs = docs.withColumn("source", F.col("id").cast("string")).withColumn(
+        "ord", F.col("id").cast("long")
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = validate_corpus({"s/4": (plan, docs)})
+        # p.x='1' satisfies the first branch; must not crash on missing p.y
+        assert res.violations.count() == 0
+
+
+def test_schema_id_column_non_struct_parent(spark):
+    from fairtracks_validator_spark.sources.catalog import schema_id_column
+
+    df = spark.createDataFrame(
+        [("yes", "s/1")], "fair_tracks string, `@schema` string"
+    )
+    got = df.select(schema_id_column(df).alias("sid")).collect()[0]["sid"]
+    assert got == "s/1"  # falls through to the top-level key, no crash
+
+
+def test_checkpoint_empty_partitions_complete(spark, tmp_path):
+    """Every todo partition (including 0-row ones) gets a lineage row, so
+    resumable max_partitions runs always make progress (was a livelock)."""
+    from fairtracks_validator_spark.checkpoint import CheckpointedValidation
+
+    plan = compile_schema({"$id": "p/1", "properties": {"v": {"type": "string"}}})
+    docs = (
+        spark.createDataFrame(
+            [(f"u{i}", f"t{i}") for i in range(3)], "url string, v string"
+        )
+        .withColumn("source", F.col("url"))
+        .withColumn("ord", F.monotonically_increasing_id())
+    )
+    cv = CheckpointedValidation(out_dir=str(tmp_path / "cp"), n_partitions=8)
+    seen: list = []
+    for _ in range(4):  # 8 partitions / 2 per batch
+        out = cv.run(docs, plan, key_col="url", ord_col="ord", max_partitions=2)
+        assert out["processed"], f"no progress: {out} after {seen}"
+        seen += out["processed"]
+    assert sorted(seen) == list(range(8))
+    assert cv.run(docs, plan, key_col="url", ord_col="ord")["processed"] == []
+
+
+def test_release_unpersists_caches(spark):
+    plan = compile_schema(
+        {"$id": "r/1", "properties": {"v": {"type": "string"}},
+         "foreign_keys": [{"schema_id": "r/1", "members": ["v"]}],
+         "primary_key": ["v"]}
+    )
+    docs = _docs(spark, [(1, "a"), (2, "b")], "id long, v string")
+    res = validate_corpus({"r/1": (plan, docs)})
+    res.violations.count()
+    assert res._persisted  # the run cached something
+    res.release()
+    assert not res._persisted
