@@ -179,8 +179,11 @@ def pattern_check(jpath: str, pattern: str) -> Check:
 
 # ------------------------------------------------- P7 ranges / lengths
 def minimum_check(jpath: str, lo, exclusive: bool = False) -> Check:
-    pred = (lambda v: v.cast("double") > F.lit(float(lo))) if exclusive else (
-        lambda v: v.cast("double") >= F.lit(float(lo))
+    # try_cast, not cast: under default ANSI mode a non-numeric value at a
+    # numeric-keyword path must become a VIOLATION (null pred -> coalesce
+    # False in _forall), not a CAST_INVALID_INPUT crash of the whole job
+    pred = (lambda v: v.try_cast("double") > F.lit(float(lo))) if exclusive else (
+        lambda v: v.try_cast("double") >= F.lit(float(lo))
     )
     return Check(
         f"minimum:{jpath}", _forall(jpath, pred),
@@ -189,8 +192,8 @@ def minimum_check(jpath: str, lo, exclusive: bool = False) -> Check:
 
 
 def maximum_check(jpath: str, hi, exclusive: bool = False) -> Check:
-    pred = (lambda v: v.cast("double") < F.lit(float(hi))) if exclusive else (
-        lambda v: v.cast("double") <= F.lit(float(hi))
+    pred = (lambda v: v.try_cast("double") < F.lit(float(hi))) if exclusive else (
+        lambda v: v.try_cast("double") <= F.lit(float(hi))
     )
     return Check(
         f"maximum:{jpath}", _forall(jpath, pred),
@@ -216,8 +219,12 @@ def max_length_check(jpath: str, n: int) -> Check:
 
 # -------------------------------------------- draft-07 numeric/array keywords
 def multiple_of_check(jpath: str, k) -> Check:
-    kd = float(k)
-    pred = lambda v: F.pmod(v.cast("double"), F.lit(kd)) == F.lit(0.0)  # noqa: E731
+    # decimal arithmetic, not double: pmod(0.3D, 0.1D) is 0.0999... so valid
+    # decimal multiples false-failed; decimal(38,12) pmod is exact for any
+    # terminating-decimal divisor (mirrors everit's BigDecimal remainder).
+    # try_cast: non-numeric (or out-of-range) values violate, never crash.
+    kd = F.lit(str(k)).cast("decimal(38,12)")
+    pred = lambda v: F.pmod(v.try_cast("decimal(38,12)"), kd) == 0  # noqa: E731
     return Check(
         f"multipleOf:{jpath}", _forall(jpath, pred),
         F.format_string(f"%s is not a multiple of {k}", _first_bad(jpath, pred)),

@@ -281,15 +281,27 @@ def chi_square_vs_reference(
         F.count(F.lit(1)).alias("o")
     )
     n = obs.agg(F.sum("o").alias("n"))
+    # FULL outer: observed buckets absent from the reference (p_ref = 0 —
+    # the strongest drift signal, where chi-square is unbounded) previously
+    # vanished from the statistic entirely (code-review r3). They can't
+    # contribute a finite (o-e)²/e cell, so their mass surfaces as
+    # ``novel_n`` / ``novel_buckets`` instead of being silently dropped.
     full = (
         F.broadcast(reference.select(F.col(bucket_col).cast("string").alias("b"), "p"))
-        .join(obs, "b", "left")
-        .na.fill({"o": 0})
+        .join(obs, "b", "full")
+        .na.fill({"o": 0, "p": 0.0})
         .crossJoin(F.broadcast(n))
         .withColumn("e", F.col("p") * F.col("n"))
     )
     return full.agg(
         F.first("n").alias("n"),
-        (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("dof"),
-        F.round(F.sum(F.pow(F.col("o") - F.col("e"), 2) / F.col("e")), 6).alias("chi2"),
+        (F.count(F.when(F.col("p") > 0, 1)) - F.lit(1)).cast("long").alias("dof"),
+        F.round(
+            F.sum(F.when(F.col("e") > 0, F.pow(F.col("o") - F.col("e"), 2) / F.col("e"))),
+            6,
+        ).alias("chi2"),
+        F.sum(F.when(F.col("p") == 0, F.col("o")).otherwise(F.lit(0))).alias("novel_n"),
+        (
+            F.count(F.when((F.col("p") == 0) & (F.col("o") > 0), 1))
+        ).cast("long").alias("novel_buckets"),
     )

@@ -30,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.keys import key_strings
 
 VIOLATION_COLS = ["source", "ord", "schema_id", "check_id", "key_str", "reason", "description"]
 
@@ -41,12 +40,16 @@ def fk_keys(
     source_col: str = "source",
     ord_col: str = "ord",
 ) -> DataFrame:
-    """(source, ord, key_str) — one row per generated FK key string."""
-    return df.select(
-        F.col(source_col).alias("source"),
-        F.col(ord_col).cast("long").alias("ord"),
-        F.explode(key_strings(members)).alias("key_str"),
-    )
+    """(source, ord, key_str) — one row per generated FK key string.
+
+    Delegates to ``uniqueness._doc_keys``: key generation is the identical
+    job on both sides of the probe, and its flat-member fast path (pure
+    codegen ``to_json``, no explode) is exactly the web-scale FK shape —
+    duplicating only the HOF path here made every flat probe pay the array
+    machinery (code-review r3)."""
+    from .uniqueness import _doc_keys
+
+    return _doc_keys(df, "fk", members, source_col, ord_col)
 
 
 def fk_check(

@@ -368,7 +368,9 @@ def psi_timeseries(
     spark = df.sparkSession
     b = fixed_width_bucket(F.col(value_col), lo, hi, buckets)
     cells = (
-        df.where(F.col(value_col).isNotNull())
+        # null timestamps would form a phantom w=NULL window that sorts
+        # first and corrupts the earliest real hour's lag (code-review r3)
+        df.where(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
         .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("w"), b.alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -151,6 +151,9 @@ def _resolve_cascade(
     set is stable. Chain depths beyond ``max_rounds`` are vanishingly rare;
     we stop at the cap (conservative over-report, documented deviation).
     """
+    # keys and the FINAL round's colliding set stay cached (the returned
+    # lazy plans reference both); each superseded round's cache is released
+    # immediately — they were pure leak (code-review r3).
     keys = keys.cache()
     # doc id = (source, ord); ord is the total order
     active = keys  # keys of docs currently assumed recorded
@@ -168,8 +171,11 @@ def _resolve_cascade(
         probe = keys.join(firsts, "key_str", "inner").where(
             F.struct("ord", "source") > F.col("_first")
         )
-        colliding_docs = probe.select("source", "ord").distinct().cache()
-        n = colliding_docs.count()
+        new_cd = probe.select("source", "ord").distinct().cache()
+        n = new_cd.count()
+        if colliding_docs is not None:
+            colliding_docs.unpersist()
+        colliding_docs = new_cd
         if n == prev_count:
             break
         prev_count = n

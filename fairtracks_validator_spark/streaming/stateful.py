@@ -88,9 +88,14 @@ def first_seen_stream(
     make expiry prompt when traffic pauses.
     """
     keyed = stream_df.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).try_cast("long").alias("id"),
         F.md5(F.col(content_col)).alias("content_hash"),
-    ).where(F.col("content_hash").isNotNull()).withColumn(
+    ).where(
+        # a null id would reach pandas as NaN and int(NaN) kills the whole
+        # streaming query (code-review r3); try_cast keeps non-castable ids
+        # out via the same filter instead of an ANSI crash
+        F.col("content_hash").isNotNull() & F.col("id").isNotNull()
+    ).withColumn(
         "bucket", F.substring("content_hash", 1, buckets_hex_chars)
     )
     timeout = (

@@ -39,16 +39,24 @@ def _registry_path(out_dir: str) -> str:
 
 def _load_registry(spark, out_dir: str, before_batch_id: int) -> DataFrame:
     """Registry accumulated by batches STRICTLY BEFORE ``before_batch_id`` —
-    a foreachBatch retry must not see its own previous (partial) attempt."""
+    a foreachBatch retry must not see its own previous (partial) attempt.
+
+    Listed through Spark's reader (``batch_id`` is a partition column), NOT
+    ``os.listdir`` — the out_dir may be hdfs://, s3a://, or any Hadoop FS
+    the driver's local filesystem cannot see; a local listing there would
+    silently return an empty registry and disable cross-batch dedup
+    (code-review r3). Partition pruning keeps the read to prior batches.
+    """
     path = _registry_path(out_dir)
-    batches = [
-        os.path.join(path, d)
-        for d in (os.listdir(path) if os.path.isdir(path) else [])
-        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < before_batch_id
-    ]
-    if not batches:
+    try:
+        df = spark.read.option("basePath", path).parquet(path)
+    except Exception:
+        # no registry yet (first batch) — an unreadable dir and an absent
+        # dir are equivalent here: nothing to probe against
         return spark.createDataFrame([], REGISTRY_SCHEMA)
-    return spark.read.parquet(*batches).select(
+    if "batch_id" not in df.columns:
+        return spark.createDataFrame([], REGISTRY_SCHEMA)
+    return df.where(F.col("batch_id") < before_batch_id).select(
         "check_id", "key_str", "first_source", "first_ord"
     )
 
@@ -75,6 +83,7 @@ def process_batch(
     )
     violations = [schema_viol]
     new_keys_parts = []
+    registry = None  # unpersisted after the batch's writes commit
 
     if plan.uniques:
         survivors = (
@@ -113,11 +122,27 @@ def process_batch(
             cross_dup = cross.where(F.col("_reg_fs").isNotNull()).select(
                 "source", "ord", "key_str", F.col("_reg_fs").alias("first_source")
             )
-            fresh = cross.where(F.col("_reg_fs").isNull()).select(
-                F.lit(uq.check_id).alias("check_id"),
-                "key_str",
-                F.col("source").alias("first_source"),
-                F.col("ord").alias("first_ord"),
+            # first-writer-wins: a COLLIDING doc records NONE of its keys
+            # (ValidatedJSONSchema.java:386-391, same rule as the batch
+            # path) — without this anti-join a multi-key doc that lost on
+            # one key still registered its other keys, falsely blaming
+            # later docs (code-review r3). Keys freed this way are not
+            # re-assigned to later same-batch docs (no promotion cascade —
+            # conservative: under-records, never over-blames).
+            colliding = (
+                intra_dup.select("source", "ord")
+                .unionByName(cross_dup.select("source", "ord"))
+                .distinct()
+            )
+            fresh = (
+                cross.where(F.col("_reg_fs").isNull())
+                .join(colliding, ["source", "ord"], "left_anti")
+                .select(
+                    F.lit(uq.check_id).alias("check_id"),
+                    "key_str",
+                    F.col("source").alias("first_source"),
+                    F.col("ord").alias("first_ord"),
+                )
             )
             dup = intra_dup.unionByName(cross_dup).select(
                 "source",
@@ -133,19 +158,25 @@ def process_batch(
             violations.append(dup)
             new_keys_parts.append(fresh)
 
-    out = violations[0]
-    for v in violations[1:]:
-        out = out.unionByName(v)
-    out.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "violations", f"batch_id={batch_id}")
-    )
-    if new_keys_parts:
-        nk = new_keys_parts[0]
-        for p in new_keys_parts[1:]:
-            nk = nk.unionByName(p)
-        nk.write.mode("overwrite").parquet(
-            os.path.join(_registry_path(out_dir), f"batch_id={batch_id}")
+    try:
+        out = violations[0]
+        for v in violations[1:]:
+            out = out.unionByName(v)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "violations", f"batch_id={batch_id}")
         )
+        if new_keys_parts:
+            nk = new_keys_parts[0]
+            for p in new_keys_parts[1:]:
+                nk = nk.unionByName(p)
+            nk.write.mode("overwrite").parquet(
+                os.path.join(_registry_path(out_dir), f"batch_id={batch_id}")
+            )
+    finally:
+        # one cached (ever-growing) registry per micro-batch otherwise
+        # accumulates in executor storage for the stream's lifetime
+        if registry is not None:
+            registry.unpersist()
 
 
 def validate_stream(

@@ -125,3 +125,82 @@ def test_release_unpersists_caches(spark):
     assert res._persisted  # the run cached something
     res.release()
     assert not res._persisted
+
+
+def test_numeric_checks_flag_non_numeric_without_crash(spark):
+    """ANSI mode: 'abc' at a minimum/multipleOf path is a violation, not a
+    CAST_INVALID_INPUT job crash; decimal multipleOf accepts 0.3 % 0.1."""
+    from fairtracks_validator_spark.operators.checks import (
+        apply_checks,
+        maximum_check,
+        minimum_check,
+        multiple_of_check,
+    )
+
+    df = _docs(
+        spark,
+        [(1, "abc"), (2, "7"), (3, "0.3"), (4, None)],
+        "id long, v string",
+    )
+    out = apply_checks(
+        df,
+        [minimum_check("v", 5), maximum_check("v", 100), multiple_of_check("v", 0.1)],
+        [], "s",
+    )
+    got = sorted((r["source"], r["check_id"]) for r in out.collect())
+    assert got == [
+        ("1", "maximum:v"), ("1", "minimum:v"), ("1", "multipleOf:v"),
+        ("3", "minimum:v"),
+    ]
+
+
+def test_psi_timeseries_ignores_null_ts(spark):
+    from fairtracks_validator_spark.operators.stats import psi_timeseries
+
+    rows = [(None, 5.0)] * 50 + [
+        ("2026-01-01 10:00:00", 1.0)
+    ] * 20 + [("2026-01-01 11:00:00", 1.0)] * 20
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = psi_timeseries(df, "value", "ts", lo=0.0, hi=10.0, buckets=5).collect()
+    # first real hour omitted (no predecessor); null-ts rows form no window
+    assert [r["window_start"] for r in out] == ["2026-01-01 11:00:00"]
+    assert out[0]["psi"] == 0.0  # identical distributions
+
+
+def test_chi_square_vs_reference_surfaces_novel_buckets(spark):
+    from fairtracks_validator_spark.operators.drift import chi_square_vs_reference
+
+    obs = spark.createDataFrame(
+        [("a",)] * 50 + [("c",)] * 50, "lang string"
+    )
+    ref = spark.createDataFrame([("a", 0.5), ("b", 0.5)], "lang string, p double")
+    r = chi_square_vs_reference(obs, ref, "lang").collect()[0]
+    assert r["novel_n"] == 50 and r["novel_buckets"] == 1
+    assert r["dof"] == 1  # reference buckets only
+    # chi2 over reference cells: a has e=50,o=50 -> 0; b has e=50,o=0 -> 50
+    assert r["chi2"] == pytest.approx(50.0)
+
+
+def test_streaming_colliding_doc_records_no_keys(spark, tmp_path):
+    """First-writer-wins in streaming: a doc that collided on one key must
+    not register its other keys (no false dup blame for later batches)."""
+    from fairtracks_validator_spark.plans.schema_compile import compile_schema
+    from fairtracks_validator_spark.streaming.validate_stream import process_batch
+
+    plan = compile_schema(
+        {"$id": "st/1", "properties": {"ks": {"type": "array"}},
+         "primary_key": ["ks[]"]}
+    )
+    out = str(tmp_path / "stream_fw")
+    # batch 0: doc A owns X. batch 1: doc B carries {X, Y} -> collides on X,
+    # so Y must NOT be recorded. batch 2: doc C carries {Y} -> no violation.
+    mk = lambda rows: spark.createDataFrame(rows, "source string, ord long, ks array<string>")
+    process_batch(mk([("A", 1, ["X"])]), 0, plan, out)
+    process_batch(mk([("B", 2, ["X", "Y"])]), 1, plan, out)
+    process_batch(mk([("C", 3, ["Y"])]), 2, plan, out)
+    viol = spark.read.parquet(f"{out}/violations")
+    rows = {(r["source"], r["key_str"]) for r in viol.collect()}
+    assert ("B", '["X"]') in rows
+    assert all(s != "C" for s, _ in rows), rows  # Y was never registered
