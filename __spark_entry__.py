@@ -1436,7 +1436,7 @@ p AS (
 x AS (
   SELECT doc_id, u,
     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
-    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)', 1)) AS host0,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?@]*@)?([^/?@]*)', 1)) AS host0,
     regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*', '') AS rest
   FROM p
 ),

@@ -29,13 +29,20 @@ def extract_text_pd(html: pd.Series) -> pd.Series:
     return s.str.strip()
 
 
-# pandas_udf needs an active SparkSession at creation — build lazily
+# pandas_udf needs an active SparkSession at creation — build lazily, and
+# re-build when the session changes: a forever-cached UDF keeps a handle to
+# a stopped SparkContext after session restart (code-review r3)
 _extract_udf = None
+_extract_udf_ctx = None
 
 
 def extract_text(html_col):
     """Column expression: extract_text(html) — Arrow-batched pandas UDF."""
-    global _extract_udf
-    if _extract_udf is None:
+    global _extract_udf, _extract_udf_ctx
+    from pyspark.sql import SparkSession
+
+    ctx = id(SparkSession.active())
+    if _extract_udf is None or _extract_udf_ctx != ctx:
         _extract_udf = pandas_udf(extract_text_pd, "string")
+        _extract_udf_ctx = ctx
     return _extract_udf(html_col)

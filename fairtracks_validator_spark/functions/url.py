@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)"
+# host = authority after the last '@' (userinfo stripped — code-review r3:
+# 'alice@example.com' is not a host, and registered_domain of it is garbage)
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?@]*@)?([^/?@]*)"
 _TRACKING_RE = r"^(utm_|gclid(=|$)|fbclid(=|$))"
 
 # common 2-level public suffixes (PSL subset; see module docstring)
@@ -42,7 +45,9 @@ def canonical_url(u: Column) -> Column:
     u = F.trim(u)
     u = F.regexp_replace(u, "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    host = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    # _HOST_RE skips any userinfo: credentials are neither part of the
+    # canonical identity nor case-insensitive (code-review r3)
+    host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
     host = (
         F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
         .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
@@ -90,5 +95,5 @@ def registered_domain(host: Column) -> Column:
 
 def url_host(u: Column) -> Column:
     """The (lowercased, port-stripped) host of an absolute URL, '' if none."""
-    return F.lower(F.regexp_replace(F.regexp_extract(u, _AUTH_RE, 1),
+    return F.lower(F.regexp_replace(F.regexp_extract(u, _HOST_RE, 1),
                                     ":[0-9]+$", ""))

@@ -189,10 +189,12 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     without decoding — the decode itself is the stubbed kernel above."""
     from pyspark.sql import functions as F
 
-    return df.select(
-        F.col("id"),
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(
-                (F.length("payload") / every_n).cast("int") - 1, F.lit(0)))
-        ).alias("frame_index"),
+    # empty/NULL payloads plan ZERO frames — the old greatest(...-1, 0)
+    # floor emitted a phantom frame 0 for them (code-review r3)
+    n_frames = F.coalesce(
+        F.floor(F.length("payload") / F.lit(float(every_n))).cast("int"), F.lit(0)
     )
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(F.col("id"), F.explode(idx).alias("frame_index"))

@@ -30,6 +30,14 @@ def sessionize(
     order_cols = [F.col(ts_col)]
     if order_tiebreak:
         order_cols.append(F.col(order_tiebreak))
+    else:
+        import warnings
+
+        warnings.warn(
+            "sessionize without order_tiebreak: events sharing a timestamp "
+            "order by partition layout, so session_ids on ties can differ "
+            "between reruns — pass an event-id column for determinism"
+        )
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     new_session = (

@@ -24,7 +24,10 @@ def _dot(a, b):
 
 
 def _norm(a):
-    return F.sqrt(_dot(a, a))
+    """Clamped L2 norm: zero vectors get 1e-300 (their cosine becomes 0)
+    rather than DIVIDE_BY_ZERO under default ANSI mode — the same clamp the
+    pandas assignment path always applied (code-review r3)."""
+    return F.greatest(F.sqrt(_dot(a, a)), F.lit(1e-300))
 
 
 def cosine_topk(
@@ -38,7 +41,7 @@ def cosine_topk(
     """Exact top-k by cosine similarity to ``query``. Deterministic ties:
     (score DESC, id ASC)."""
     q = F.array(*[F.lit(float(x)) for x in query])
-    qn = sum(x * x for x in query) ** 0.5
+    qn = sum(x * x for x in query) ** 0.5 or 1.0  # zero query -> all scores 0
     v = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -214,6 +217,26 @@ def kmeans_fit(
     return centroids
 
 
+def ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    train_iters: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+):
+    """Build the IVF index ONCE: (assigned relation, codebook).
+
+    The production shape: persist ``assigned`` partitioned/bucketed by
+    ``cluster`` so each query's partition pruning reads only its n_probe
+    clusters. Recomputing the assignment inside every query (the old
+    ivf_topk behavior) costs n_clusters dot-products per row per query —
+    MORE FLOPs than brute-force exact search (code-review r3)."""
+    if centroids is None:
+        centroids = kmeans_fit(df, id_col, vec_col, k=n_clusters, iters=train_iters)
+    return assign_clusters(df, id_col, vec_col, centroids), centroids
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -225,14 +248,16 @@ def ivf_topk(
     exclude_id: int | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
     train_iters: int = 2,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF two-stage ANN. ``centroids`` defaults to a seeded k-means codebook
     trained on the corpus (:func:`kmeans_fit`); pass a precomputed codebook
     to skip training (the production shape: train offline, reuse per query).
     """
-    if centroids is None:
-        centroids = kmeans_fit(
-            df, id_col, vec_col, k=n_clusters, iters=train_iters
+    if assigned is None:
+        assigned, centroids = ivf_index(
+            df, id_col, vec_col, n_clusters=n_clusters,
+            train_iters=train_iters, centroids=centroids,
         )
 
     qn = sum(x * x for x in query) ** 0.5 or 1.0
@@ -244,7 +269,6 @@ def ivf_topk(
     probe = sorted(centroids, key=lambda c: (-cos_to_query(c[1]), c[0]))[:n_probe]
     probe_ids = [c[0] for c in probe]
 
-    assigned = assign_clusters(df, id_col, vec_col, centroids)
     cand = assigned.where(F.col("cluster").isin(probe_ids))
     if exclude_id is not None:
         cand = cand.where(F.col("id") != exclude_id)

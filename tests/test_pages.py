@@ -187,3 +187,24 @@ def test_checkpoint_with_fk_registry(spark, tmp_path):
     assert by_reason.get("fk_missing", 0) > 0
     n_bad_lang = df.where("lang = 'xx'").count()
     assert by_reason["fk_missing"] == n_bad_lang
+
+
+def test_planted_duplicate_count_is_exact(spark):
+    """Module contract: planted anomaly counts are EXACT. Every dup-bucket
+    row must collide with a real displayed url (chained dups previously
+    copied a base url nobody displays)."""
+    df = pages(spark, 50_000, dup_rate=0.05)
+    n = df.count()
+    n_urls = df.select("url").distinct().count()
+    # collisions = rows minus distinct urls; must equal the planted count,
+    # which the fixed generator makes countable in closed form
+    import pyspark.sql.functions as F
+
+    seed, thr = 42, 50
+    ids = spark.range(0, 50_000)
+    h = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1000))
+    ph = F.pmod(F.xxhash64(F.col("id") - 1, F.lit(seed)), F.lit(1000))
+    planted = ids.where(
+        (h < thr) & (F.col("id") > 0) & ~((ph < thr) & (F.col("id") - 1 > 0))
+    ).count()
+    assert n - n_urls == planted
