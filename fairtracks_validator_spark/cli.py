@@ -101,7 +101,16 @@ def main(argv: list[str] | None = None) -> int:
             counts = work.agg(
                 F.countDistinct(args.id_col).alias("ids"),
                 F.countDistinct("_nid").alias("hashes"),
+                F.sum(F.col(args.id_col).isNull().cast("int")).alias("nulls"),
             ).first()
+            if counts["nulls"]:
+                # null ids all hash to xxhash64's seed constant — they would
+                # spuriously trip the injectivity check below with a
+                # misleading "collision" message (advice r4)
+                print(f"ERROR: {counts['nulls']} null values in --id-col "
+                      f"{args.id_col}; filter them out or supply a complete "
+                      "id column", file=sys.stderr)
+                return 2
             if counts["hashes"] != counts["ids"]:
                 print(f"ERROR: xxhash64 collision on --id-col {args.id_col}; "
                       "supply a numeric id column", file=sys.stderr)
@@ -179,7 +188,12 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed,
         )
         write_table(out, args.out, mode="overwrite")
-        written = spark.read.parquet(args.out) if "/" in args.out else out
+        from .sources.tables import is_catalog_table
+        written = (
+            read_table(spark, args.out)
+            if ("/" in args.out or is_catalog_table(spark, args.out))
+            else out
+        )
         counts = {
             r["split"]: r["n"]
             for r in written.groupBy("split").agg(F.count("*").alias("n")).collect()

@@ -25,19 +25,18 @@ def sessionize(
     gap_seconds: int = 1800,
 ) -> DataFrame:
     """Per-event session assignment: adds ``session_id`` (1-based, dense per
-    user). Ties on the timestamp break deterministically via
-    ``order_tiebreak`` (e.g. an event id) — never partition order."""
+    user).
+
+    ``session_id`` is deterministic even without ``order_tiebreak``: events
+    sharing a timestamp have pairwise gap 0 ≤ ``gap_seconds``, so whatever
+    order the window visits them, none can open a session boundary and all
+    land in the same session with the same running-sum value (r4 — the old
+    nondeterminism warning here was wrong). Pass ``order_tiebreak`` (e.g.
+    an event id) only if downstream logic additionally needs a reproducible
+    intra-tie ROW order within the window."""
     order_cols = [F.col(ts_col)]
     if order_tiebreak:
         order_cols.append(F.col(order_tiebreak))
-    else:
-        import warnings
-
-        warnings.warn(
-            "sessionize without order_tiebreak: events sharing a timestamp "
-            "order by partition layout, so session_ids on ties can differ "
-            "between reruns — pass an event-id column for determinism"
-        )
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     new_session = (

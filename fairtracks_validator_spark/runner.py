@@ -120,28 +120,22 @@ def _null_ddl_for_steps(steps: list[tuple[str, str | None]]) -> str:
     return f"array<{t}>" if idx0 is not None else t
 
 
-def _merged_null_ddl(root_name: str, plan: ValidationPlan) -> str:
-    """DDL for an absent root column covering EVERY plan jPath under it.
+def _merged_steps_ddl(paths_steps: list[tuple[list, str | None]]) -> str:
+    """DDL merging the shapes of several jPath step-lists that share their
+    FIRST step (the column/field being padded).
 
     Padding from one path's shape alone breaks sibling paths — `a` padded
-    as plain string leaves `a.b` unresolvable (code-review r3) — so the
-    shapes of all paths rooted at ``root_name`` merge into one nested
-    struct; a path's explicit DDL hint (map-encoded objects) becomes that
-    position's leaf type."""
-    from .functions.keys import _parse_jpath
+    as plain string leaves `a.b` unresolvable (code-review r3), and `a.b`
+    padded as string leaves `a.b.c` unresolvable (advice r4) — so every
+    shape merges into one nested struct; a path's explicit DDL hint
+    (map-encoded objects) becomes that position's leaf type."""
 
     def new_node():
         return {"leaf": None, "children": {}}
 
     tree = new_node()
     root_is_arr = False
-    for path, hint in (plan.jpaths or {}).items():
-        try:
-            steps = _parse_jpath(path)
-        except ValueError:
-            continue
-        if steps[0][0] != root_name:
-            continue
+    for steps, hint in paths_steps:
         if steps[0][1] is not None:
             root_is_arr = True
         node = tree
@@ -163,6 +157,27 @@ def _merged_null_ddl(root_name: str, plan: ValidationPlan) -> str:
 
     t = render(tree)
     return f"array<{t}>" if root_is_arr else t
+
+
+def _plan_steps_under(plan: ValidationPlan, root_name: str):
+    """(steps, hint) for every parseable plan jPath rooted at ``root_name``."""
+    from .functions.keys import _parse_jpath
+
+    out = []
+    for path, hint in (plan.jpaths or {}).items():
+        try:
+            steps = _parse_jpath(path)
+        except ValueError:
+            continue
+        if steps[0][0] == root_name:
+            out.append((steps, hint))
+    return out
+
+
+def _merged_null_ddl(root_name: str, plan: ValidationPlan) -> str:
+    """DDL for an absent root column covering EVERY plan jPath under it."""
+    matched = _plan_steps_under(plan, root_name)
+    return _merged_steps_ddl(matched) if matched else ""
 
 
 def align_to_plan(df: DataFrame, plan: ValidationPlan) -> DataFrame:
@@ -200,7 +215,15 @@ def align_to_plan(df: DataFrame, plan: ValidationPlan) -> DataFrame:
         elif len(steps) > 1:
             dt = df.schema[root].dataType
             name1, _idx1 = steps[1]
-            field_ddl = _null_ddl_for_steps(steps[1:])
+            # Merge the shapes of EVERY plan jPath through (root, name1) —
+            # padding from this path alone would shadow a sibling's deeper
+            # access ('a.b' pads b as string, then 'a.b.c' crashes).
+            sibling = [
+                (s[1:], h)
+                for s, h in _plan_steps_under(plan, root)
+                if len(s) > 1 and s[1][0] == name1
+            ]
+            field_ddl = _merged_steps_ddl(sibling)
             if isinstance(dt, T.StructType) and name1 not in dt.fieldNames():
                 _w.warn(
                     f"struct field {root}.{name1} (for schema path {path!r}) "

@@ -47,12 +47,21 @@ def _load_registry(spark, out_dir: str, before_batch_id: int) -> DataFrame:
     silently return an empty registry and disable cross-batch dedup
     (code-review r3). Partition pruning keeps the read to prior batches.
     """
+    from pyspark.errors import AnalysisException
+
     path = _registry_path(out_dir)
     try:
         df = spark.read.option("basePath", path).parquet(path)
-    except Exception:
-        # no registry yet (first batch) — an unreadable dir and an absent
-        # dir are equivalent here: nothing to probe against
+    except AnalysisException as e:
+        cond = (
+            e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        ) or ""
+        if "PATH_NOT_FOUND" not in cond:
+            # transient storage/permission/corrupt-footer errors must
+            # PROPAGATE so the micro-batch retries — swallowing them would
+            # silently validate against an empty registry (advice r4)
+            raise
+        # no registry yet (first batch): nothing to probe against
         return spark.createDataFrame([], REGISTRY_SCHEMA)
     if "batch_id" not in df.columns:
         return spark.createDataFrame([], REGISTRY_SCHEMA)

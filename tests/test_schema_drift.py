@@ -75,6 +75,37 @@ def test_missing_array_of_struct_field(spark):
     assert any("schema drift" in str(x.message) for x in w)
 
 
+def test_missing_field_with_deeper_sibling_path(spark):
+    """advice r4: plan jpaths 'a.b' AND 'a.b.c' with field b absent — the
+    pad for b must merge BOTH shapes (struct<c:string>, not string) or the
+    deeper path crashes at analysis with INVALID_EXTRACT_BASE_FIELD_TYPE."""
+    df = spark.createDataFrame(
+        [("r1", 1, ("v1",)), ("r2", 2, ("v2",))],
+        "source string, ord long, a struct<present:string>",
+    )
+    plan = compile_schema({
+        "$id": "s/5",
+        "properties": {"a": {
+            "required": ["b"],
+            "properties": {
+                "present": {"minLength": 1},
+                "b": {
+                    "minLength": 3,
+                    "properties": {"c": {"pattern": "^z"}},
+                },
+            },
+        }},
+    })
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = validate_corpus({"s/5": (plan, df)})
+        got = rows_set(res.violations.select("source", "check_id"))
+    # b absent: required on the (present) parent fails; minLength on b and
+    # pattern on b.c are vacuous against the typed-null pad
+    assert got == {("r1", "required:a.b"), ("r2", "required:a.b")}
+    assert any("schema drift" in str(x.message) for x in w)
+
+
 def test_no_drift_no_warning_no_change(spark):
     df = spark.createDataFrame([("r1", 1, "x")], "source string, ord long, a string")
     plan = compile_schema({"$id": "s/4", "properties": {"a": {"minLength": 1}}})
