@@ -128,12 +128,20 @@ def main():
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").collect()
 
+    # best-of-3 per query: a single sample on this shared host swings
+    # ±30-90% with CPU steal (BENCH/bisect_r4.md — the r3 "regressions"
+    # were all single-sample noise); the fastest pass of identical work is
+    # the least-contended measurement, same discipline as the pages probe.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.collect()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best = dt
+        times[name] = round(best, 3)
 
     pages_sec, pages_docs_per_sec = _pages_throughput(spark)
     times["pages_validation"] = round(pages_sec, 3)

@@ -481,10 +481,11 @@ def _validate_fused(
     document twice (``FairGTrackValidatorCli.java:265,328``); this path scans
     once.
 
-    The narrow shuffled relation is persisted DISK_ONLY: it is ~1% of the
-    input width, every output (verdicts, violations, registry) derives from
-    it, and DISK_ONLY avoids the MemoryStore unroll contention that makes
-    in-memory caching of large datasets anti-scale with executor threads.
+    Nothing here is persisted: the narrow relation is ~1% of the input
+    width, Spark reuses the shuffle map outputs across the downstream
+    actions on this lineage (skipped stages), and caching nested-array
+    columns through the columnar cache builder is slower than recomputing
+    (MemoryStore unroll contention also anti-scales with executor threads).
     """
     from pyspark.sql import Window
 
