@@ -1289,6 +1289,44 @@ def q_ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_probe=4, exclude_id=0)
 
 
+_IVF_INDEX_CACHE: dict = {}
+
+
+def _ivf_pretrained_index(spark: SparkSession, sf_dir: str):
+    """Build the IVF index ONCE per (session, table): seeded k-means train +
+    nearest-centroid assignment, persisted and materialized so later probes
+    never re-run the training lineage. At cluster scale this relation would
+    be written bucketed-by-cluster (sources.tables) so probes prune files;
+    in-session the persisted cache plays that role."""
+    key = (id(spark), sf_dir)
+    hit = _IVF_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from fairtracks_validator_spark.operators.similarity import ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(emb, "vec_id", "embedding", n_clusters=16)
+    assigned = assigned.persist()
+    assigned.count()
+    _IVF_INDEX_CACHE[key] = (assigned, centroids)
+    return assigned, centroids
+
+
+def q_ivf_ann_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF shape (VERDICT r3 #3): train the codebook and
+    assignment ONCE (:func:`ivf_index`), then every query only ranks the
+    codebook driver-side and scans its n_probe clusters — probe cost is
+    n_probe/n_clusters of a brute-force scan, zero training FLOPs. Same
+    deterministic pipeline and result as q_ivf_ann_embeddings, so the same
+    full value oracle applies (training CTEs hoisted into the index build
+    here; recomputed inline by the SQL engine)."""
+    assigned, centroids = _ivf_pretrained_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, "vec_id", "embedding", qv, k=10, n_probe=4,
+                    exclude_id=0, assigned=assigned, centroids=centroids)
+
+
 def _ivf_ann_sql(k: int = 16, iters: int = 2, max_sample: int = 100_000,
                  n_probe: int = 4, topk: int = 10) -> str:
     """DuckDB replica of kmeans_fit (stride sample, rank-spaced init, Lloyd
@@ -1997,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann_embeddings": q_ivf_ann_embeddings,
+        "ivf_ann_pretrained": q_ivf_ann_pretrained,
         "url_canonical_documents": q_url_canonical_documents,
         "langid_documents": q_langid_documents,
         "quality_documents": q_quality_documents,
@@ -2052,6 +2091,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_embeddings": _COSINE_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "ivf_ann_embeddings": _ivf_ann_sql(),
+        "ivf_ann_pretrained": _ivf_ann_sql(),
         "url_canonical_documents": _url_canonical_sql(),
         "langid_documents": _langid_sql(),
         "quality_documents": _QUALITY_SQL,

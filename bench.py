@@ -49,6 +49,9 @@ HEADLINE = [
     "simhash_neardup_documents",
     "cosine_topk_embeddings",
     "ivf_ann_embeddings",
+    # the production shape: ivf_index built once per session, probes reuse
+    # the persisted (assigned, codebook) pair — probe-only latency
+    "ivf_ann_pretrained",
     "langid_documents",
     "quality_documents",
     "gopher_quality_documents",
