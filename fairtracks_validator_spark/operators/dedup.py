@@ -472,10 +472,41 @@ def verify_jaccard(
     return out
 
 
+def _components_driver(spark, rows) -> DataFrame:
+    """Exact union-find over an already-collected edge list (≤ driver_cap
+    rows, ~16 bytes each — bounded driver memory). Union-by-min keeps every
+    root at its component's minimum id, matching the distributed variants
+    bit for bit."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        if a is None or b is None:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra < rb:
+            parent[rb] = ra
+        elif rb < ra:
+            parent[ra] = rb
+    out = sorted((x, find(x)) for x in parent)
+    return spark.createDataFrame(out, "id long, cluster_rep long")
+
+
 def dedup_components(
     pairs_df: DataFrame,
     max_iter: int = 20,
     algorithm: str = "auto",
+    driver_cap: int = 100_000,
 ) -> DataFrame:
     """Connected components over duplicate pairs → ``(id, cluster_rep)``
     with ``cluster_rep`` = the smallest id in the component (the canonical
@@ -499,23 +530,37 @@ def dedup_components(
     output-sized after LSH+verify, not corpus-sized. ``localCheckpoint`` per
     round truncates iterative lineage (nested plans otherwise overflow the
     planner).
+
+    ``driver_cap`` (r4): pair sets at or below this many rows short-circuit
+    to an exact driver-side union-find over ONE bounded collect (~16 bytes/
+    edge ⇒ ≤ ~2 MB driver memory at the default) — identical output, none
+    of the per-round job-scheduling overhead that dominates small graphs.
+    Larger pair sets take the distributed rounds unchanged; 0 disables.
     """
     if algorithm == "star":
         return _components_star(pairs_df)
+    raw = pairs_df.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    ).persist()
+    if raw.count() <= driver_cap:
+        rows = raw.collect()
+        raw.unpersist()
+        return _components_driver(pairs_df.sparkSession, rows)
     edges = (
-        pairs_df.select(F.col("id_a").cast("long").alias("src"),
-                        F.col("id_b").cast("long").alias("dst"))
-        .unionByName(
-            pairs_df.select(F.col("id_b").cast("long").alias("src"),
-                            F.col("id_a").cast("long").alias("dst"))
-        )
+        raw.unionByName(raw.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
+    # lazy localCheckpoint: the convergence-probe aggregation below is the
+    # FIRST action on each round's labels, so one job both materializes the
+    # checkpoint (truncating iterative lineage) and computes the probe —
+    # eager checkpointing would pay a second pass per round (VERDICT r3 #5).
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("rep", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # convergence probe: min-propagation strictly DECREASES the label sum
     # until the fixpoint, so one cheap sum per round replaces a join+count.
@@ -531,7 +576,7 @@ def dedup_components(
         labels = (
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("rep", F.coalesce("nbr_rep", "rep")).alias("rep"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).first()[0]
         if new_sum == prev_sum:
@@ -539,6 +584,7 @@ def dedup_components(
             break
         prev_sum = new_sum
     edges.unpersist()
+    raw.unpersist()
     if not converged:
         if algorithm == "auto":
             import warnings
@@ -572,7 +618,7 @@ def _components_star(pairs_df: DataFrame, max_iter: int = 50) -> DataFrame:
                         F.col("id_b").cast("long").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def sym(edges: DataFrame) -> DataFrame:
@@ -600,7 +646,7 @@ def _components_star(pairs_df: DataFrame, max_iter: int = 50) -> DataFrame:
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # small-star over down-neighborhoods: (v, m) for v ≤ u plus (u, m)
         s = sym(e)
@@ -612,8 +658,10 @@ def _components_star(pairs_df: DataFrame, max_iter: int = 50) -> DataFrame:
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionByName(md.select("src", F.col("m").alias("dst")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # the checksum is the first action on this round's chain: one job
+        # materializes both stars' checkpoints AND the probe (r4)
         cur = checksum(e)
         if cur == prev:
             break

@@ -362,7 +362,8 @@ def test_components_auto_falls_back_to_star(spark):
     )
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
-        out = dedup_components(pairs, max_iter=5, algorithm="auto")
+        out = dedup_components(pairs, max_iter=5, algorithm="auto",
+                               driver_cap=0)
         rows = out.collect()
     assert any("did not converge" in str(x.message) for x in rec)
     assert len(rows) == 100 and all(r["cluster_rep"] == 0 for r in rows)
@@ -377,7 +378,8 @@ def test_components_minlabel_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(99)], "id_a long, id_b long"
     )
     with _pt.raises(RuntimeError, match="did not converge"):
-        dedup_components(pairs, max_iter=3, algorithm="minlabel")
+        dedup_components(pairs, max_iter=3, algorithm="minlabel",
+                         driver_cap=0)
 
 
 def test_components_star_matches_minlabel(spark):
@@ -390,9 +392,11 @@ def test_components_star_matches_minlabel(spark):
     edges = [(1, 5), (5, 9), (9, 2), (20, 21), (30, 31), (31, 32), (32, 30),
              (100, 40), (40, 60)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    a = {(r["id"], r["cluster_rep"]) for r in dedup_components(pairs).collect()}
+    a = {(r["id"], r["cluster_rep"])
+         for r in dedup_components(pairs, driver_cap=0).collect()}
     b = {(r["id"], r["cluster_rep"]) for r in _components_star(pairs).collect()}
-    assert a == b
+    c = {(r["id"], r["cluster_rep"]) for r in dedup_components(pairs).collect()}
+    assert a == b == c  # distributed minlabel == star == driver union-find
 
 
 def test_kmeans_codebook_deterministic_and_recall(spark):
