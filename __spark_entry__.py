@@ -125,7 +125,8 @@ ORDER BY source, check_id
 
 def q_validate_documents_draft7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Draft-07 keyword surface end-to-end: $ref, anyOf, oneOf, allOf, not,
-    multipleOf, uniqueItems, minItems, maxItems over the documents table."""
+    multipleOf, uniqueItems, minItems, maxItems, array- and schema-form
+    dependencies over the documents table."""
     docs = (
         _t(spark, sf_dir, "documents")
         .withColumn("ord", F.col("doc_id"))
@@ -140,8 +141,15 @@ def q_validate_documents_draft7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "$id": "documents_draft7/1.0",
             "$schema": "http://json-schema.org/draft-07/schema#",
             "definitions": {"nonempty": {"minLength": 10}},
-            # array-form property dependencies: a lang implies a text
-            "dependencies": {"lang": ["text"]},
+            # array-form property dependencies: a lang implies a text;
+            # schema-form (r4): an n_chars implies lang present and en|de
+            "dependencies": {
+                "lang": ["text"],
+                "n_chars": {
+                    "required": ["lang"],
+                    "properties": {"lang": {"pattern": "^(en|de)$"}},
+                },
+            },
             "properties": {
                 "doc_id": {"oneOf": [{"multipleOf": 2}, {"multipleOf": 3}]},
                 "n_chars": {"anyOf": [{"maximum": 150}, {"minimum": 250}]},
@@ -204,6 +212,10 @@ WHERE tags IS NOT NULL
 UNION ALL
 SELECT src_id, 'dependencies:lang' FROM d
 WHERE lang IS NOT NULL AND text IS NULL
+UNION ALL
+SELECT src_id, 'dependencies:n_chars' FROM d
+WHERE n_chars IS NOT NULL
+  AND NOT (lang IS NOT NULL AND regexp_matches(lang, '^(en|de)$'))
 UNION ALL
 SELECT src_id, 'items:tags[0]' FROM d
 WHERE tags IS NOT NULL AND len(tags) >= 1

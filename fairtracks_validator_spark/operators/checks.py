@@ -629,6 +629,19 @@ def map_dependencies_check(jpath: str, prop: str, deps: list[str]) -> Check:
     )
 
 
+def schema_dependency_check(jpath: str, pred: Column) -> Check:
+    """Schema-form ``dependencies`` (draft-07, r4): when a value exists at
+    ``jpath``, the containing object must match the dependent subschema —
+    already folded to ``pred`` by the compiler (everit enforces this form
+    via the draft-07 meta-schema,
+    ``java/src/main/resources/org/json-schema/draft-07/schema``)."""
+    return Check(
+        f"dependencies:{jpath}",
+        ~presence(jpath) | F.coalesce(pred, F.lit(False)),
+        F.lit(f"presence of {jpath} requires the dependent schema to hold"),
+    )
+
+
 def presence_dependency_check(jpath: str, dep_jpaths: list[str]) -> Check:
     """Property ``dependencies`` (array form) over struct/flat columns: if a
     value exists at ``jpath``, values must exist at every dependent path."""

@@ -472,10 +472,23 @@ def _walk(
                         f"{dotted}{dprop}", [f"{dotted}{r}" for r in req]
                     )
                 )
+            elif isinstance(req, (dict, bool)):
+                # schema form (r4 — the last everit keyword without a
+                # compilation): presence of dprop ⇒ the CONTAINING object
+                # matches the dependent subschema, folded to one predicate
+                # at `prefix` exactly like a combinator branch
+                _note_path(plan, f"{dotted}{dprop}")
+                pred = (
+                    F.lit(req) if isinstance(req, bool)
+                    else _subschema_pred(plan, prefix, req, dims, root,
+                                         depth + 1)
+                )
+                plan.checks.append(
+                    C.schema_dependency_check(f"{dotted}{dprop}", pred)
+                )
             else:
-                _warn(plan, f"dependencies[{dprop!r}] at {prefix or '#'}: only "
-                            "the array-of-property-names form is supported — "
-                            "not enforced")
+                _warn(plan, f"dependencies[{dprop!r}] at {prefix or '#'}: "
+                            "unsupported form — not enforced")
 
     if not isinstance(props, dict):
         return
@@ -501,7 +514,12 @@ def _subschema_pred(
 
     sub = _deref(plan, root, sub)
     tmp = ValidationPlan(schema_id=plan.schema_id)
-    _compile_property(tmp, path, sub, dims, root=root, depth=depth)
+    if path:
+        _compile_property(tmp, path, sub, dims, root=root, depth=depth)
+    else:
+        # document-root subschema (schema-form dependencies at prefix ""):
+        # there is no "" column — only the object-keyword walk applies
+        _warn_unknown_keywords(plan, sub, "#")
     _walk(tmp, sub, prefix=path, dims=dims, root=root, depth=depth)
     if tmp.join_checks or tmp.uniques or tmp.fks:
         _warn(plan, f"combinator subschema at {path} declares join/uniqueness/FK "

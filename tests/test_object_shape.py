@@ -128,6 +128,54 @@ def test_struct_dependencies_end_to_end(spark):
     assert got == {("r2", "dependencies:credit_card")}
 
 
+def test_schema_form_dependencies_root(spark):
+    """Schema-form dependencies (r4): presence of a property requires the
+    CONTAINING object to match the dependent subschema — root level."""
+    df = spark.createDataFrame(
+        [("r1", 1, "x", None),        # a present, b absent -> required fails
+         ("r2", 2, None, None),       # a absent -> vacuous
+         ("r3", 3, "x", "okval"),     # dependent schema holds
+         ("r4", 4, "x", "no")],       # b too short
+        "source string, ord long, a string, b string",
+    )
+    plan = compile_schema({
+        "$id": "dep/2",
+        "properties": {"a": {"type": "string"}},
+        "dependencies": {"a": {"required": ["b"],
+                               "properties": {"b": {"minLength": 3}}}},
+    })
+    res = validate_corpus({"dep/2": (plan, df)})
+    got = rows_set(res.violations.select("source", "check_id"))
+    assert got == {("r1", "dependencies:a"), ("r4", "dependencies:a")}
+
+
+def test_schema_form_dependencies_nested_and_boolean(spark):
+    """Nested object level, plus the boolean-false form (presence of the
+    trigger property is itself forbidden)."""
+    df = spark.createDataFrame(
+        [("r1", 1, ("cc", None)), ("r2", 2, ("cc", "addr")), ("r3", 3, (None, None))],
+        "source string, ord long, o struct<credit_card:string,billing:string>",
+    )
+    plan = compile_schema({
+        "$id": "dep/3",
+        "properties": {"o": {
+            "dependencies": {"credit_card": {"required": ["billing"]}},
+        }},
+    })
+    res = validate_corpus({"dep/3": (plan, df)})
+    got = rows_set(res.violations.select("source", "check_id"))
+    assert got == {("r1", "dependencies:o.credit_card")}
+
+    plan2 = compile_schema({
+        "$id": "dep/4",
+        "properties": {"o": {"dependencies": {"credit_card": False}}},
+    })
+    res2 = validate_corpus({"dep/4": (plan2, df)})
+    got2 = rows_set(res2.violations.select("source", "check_id"))
+    assert got2 == {("r1", "dependencies:o.credit_card"),
+                    ("r2", "dependencies:o.credit_card")}
+
+
 # ------------------------------------------------------- tuple-form items
 def test_tuple_items(spark):
     df = spark.createDataFrame(
