@@ -35,6 +35,9 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("validate", help="resumable table validation run")
     v.add_argument("--input", required=True, help="parquet path / table")
     v.add_argument("--schema", required=True, help="JSON-Schema(+extensions) file")
+    v.add_argument("--schema-dir", default=None,
+                   help="directory of sibling schemas: loaded as the "
+                        "cross-document $ref registry")
     v.add_argument("--out", required=True, help="output dir (verdicts/violations/lineage)")
     v.add_argument("--key-col", default="url")
     v.add_argument("--ord-col", default=None, help="total-order column (default: key-col hash)")
@@ -207,9 +210,15 @@ def main(argv: list[str] | None = None) -> int:
 
     with open(args.schema) as f:
         schema = json.load(f)
+    registry = None
+    if args.schema_dir:
+        from .sources.catalog import load_schemas
+
+        registry = load_schemas(args.schema_dir)
     plan = compile_schema(
         schema,
         dims=Dims(namespaces=NAMESPACES_SNAPSHOT, namespace_ids=namespace_mir_ids()),
+        registry=registry,
     )
     for w in plan.warnings:
         print(f"WARNING: {w}", file=sys.stderr)

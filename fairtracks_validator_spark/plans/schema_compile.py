@@ -87,6 +87,10 @@ class ValidationPlan:
     # reference "property absent" semantics) instead of crashing on
     # UNRESOLVED_COLUMN.
     jpaths: dict[str, str | None] = field(default_factory=dict)
+    # cross-document $ref resolution (r4): {schema_id: schema_dict} of every
+    # loaded schema — the Spark twin of everit's loaded-schema registry
+    # (J/ValidatedJSONSchema.java:318-329). Empty ⇒ external refs warn.
+    registry: dict = field(default_factory=dict, repr=False)
 
 
 def _note_path(plan: ValidationPlan, path: str, ddl: str | None = None) -> None:
@@ -254,8 +258,14 @@ def _meta_walk(node, where: str, errs: list[str], depth: int = 0) -> None:
 
 
 def compile_schema(
-    schema: dict, dims: Dims | None = None, validate_meta: bool = True
+    schema: dict,
+    dims: Dims | None = None,
+    validate_meta: bool = True,
+    registry: dict[str, dict] | None = None,
 ) -> ValidationPlan:
+    """Compile one schema to a ValidationPlan. Pass ``registry`` (e.g. the
+    ``load_schemas`` result) to resolve cross-document ``$ref``s against the
+    other loaded schemas — ``compile_schema(s, registry=schemas)``."""
     dims = dims or Dims()
     schema_id = schema.get("$id") or schema.get("id")
     if not schema_id:
@@ -268,6 +278,7 @@ def compile_schema(
                 + "; ".join(errs[:10])
             )
     plan = ValidationPlan(schema_id=schema_id)
+    plan.registry = registry or {}
 
     # ---- root-level primary_key (ValidatedJSONSchema.java:278-298)
     pk = schema.get("primary_key")
@@ -334,10 +345,50 @@ def _json_pointer(root, ref: str):
     return node
 
 
+def _requalify(node, doc_id: str):
+    """Deep-copy a subtree pulled from another schema document, rewriting
+    its refs so they keep resolving against their OWNING document after
+    inlining: ``#/...`` becomes ``<doc_id>#/...`` and relative document
+    refs resolve against the owner's $id (RFC 3986 join)."""
+    from urllib.parse import urljoin
+
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            if k == "$ref" and isinstance(v, str):
+                out[k] = doc_id + v if v.startswith("#") else urljoin(doc_id, v)
+            else:
+                out[k] = _requalify(v, doc_id)
+        return out
+    if isinstance(node, list):
+        return [_requalify(x, doc_id) for x in node]
+    return node
+
+
+def _resolve_external(plan: ValidationPlan, root: dict, ref: str):
+    """Cross-document $ref (r4): ``other-id#/ptr`` (or a relative document
+    ref) resolves through ``plan.registry`` — mirroring everit's registry
+    resolution in the reference (J/ValidatedJSONSchema.java:318-329).
+    Returns the requalified target subtree, or None if unknown."""
+    from urllib.parse import urljoin
+
+    doc_part, _, frag = ref.partition("#")
+    base = root.get("$id") or root.get("id") or ""
+    for cand in (doc_part, urljoin(str(base), doc_part)):
+        target = plan.registry.get(cand)
+        if target is not None:
+            node = _json_pointer(target, "#" + frag)
+            if node is None:
+                return None
+            return _requalify(node, cand)
+    return None
+
+
 def _deref(plan: ValidationPlan, root: dict, sub: dict) -> dict:
     """Follow ``$ref`` chains (draft-07 semantics: $ref replaces siblings).
-    Cycles / unresolvable / external refs warn and compile to nothing rather
-    than silently weakening the plan."""
+    ``#/...`` pointers resolve within ``root``; other refs resolve across
+    documents through ``plan.registry`` (r4). Cycles / unresolvable refs
+    warn and compile to nothing rather than silently weakening the plan."""
     seen: set[str] = set()
     while isinstance(sub, dict) and isinstance(sub.get("$ref"), str):
         ref = sub["$ref"]
@@ -345,7 +396,10 @@ def _deref(plan: ValidationPlan, root: dict, sub: dict) -> dict:
             _warn(plan, f"cyclic $ref {ref} — constraints not enforced")
             return {}
         seen.add(ref)
-        target = _json_pointer(root, ref)
+        if ref.startswith("#"):
+            target = _json_pointer(root, ref)
+        else:
+            target = _resolve_external(plan, root, ref)
         if target is None:
             _warn(plan, f"unresolvable $ref {ref!r} — constraints not enforced")
             return {}
@@ -514,6 +568,7 @@ def _subschema_pred(
 
     sub = _deref(plan, root, sub)
     tmp = ValidationPlan(schema_id=plan.schema_id)
+    tmp.registry = plan.registry
     if path:
         _compile_property(tmp, path, sub, dims, root=root, depth=depth)
     else:

@@ -325,6 +325,62 @@ def test_ref_cycle_and_unknown_keyword_warn(spark):
     assert any("patternProperties" in m and "not enforced" in m for m in msgs)
 
 
+def test_cross_document_ref(spark):
+    """Cross-document $ref through the loaded-schema registry (r4): absolute
+    id#pointer refs, relative document refs (RFC 3986 join against the
+    referrer's $id), whole-document refs, and internal refs INSIDE the
+    referenced document that must keep resolving against their owner."""
+    common = {
+        "$id": "https://x.org/schemas/common.json",
+        "definitions": {
+            "shortname": {"$ref": "#/definitions/name"},  # internal hop
+            "name": {"minLength": 3, "maxLength": 8},
+        },
+        "properties": {"code": {"pattern": "^C"}},
+    }
+    main = {
+        "$id": "https://x.org/schemas/main.json",
+        "properties": {
+            # absolute cross-document ref, with an internal hop inside common
+            "a": {"$ref": "https://x.org/schemas/common.json#/definitions/shortname"},
+            # relative document ref, resolved against main's $id
+            "b": {"$ref": "common.json#/definitions/name"},
+            # whole-document ref: common's properties apply under obj
+            "obj": {"$ref": "common.json"},
+        },
+    }
+    registry = {s["$id"]: s for s in (common, main)}
+    plan = compile_schema(main, registry=registry)
+    rows = [
+        ("ok", 1, "abc", "abcd", ("C1",)),
+        ("bad_a", 2, "ab", "abcd", ("C1",)),
+        ("bad_b", 3, "abc", "toolongname", ("C1",)),
+        ("bad_obj", 4, "abc", "abcd", ("X1",)),
+        ("ok_nulls", 5, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "source STRING, ord INT, a STRING, b STRING, obj STRUCT<code:STRING>"
+    )
+    res = validate_corpus({main["$id"]: (plan, df)})
+    viol = rows_set(res.violations, ["source", "check_id"])
+    assert viol == {
+        ("bad_a", "minLength:a"),
+        ("bad_b", "maxLength:b"),
+        ("bad_obj", "pattern:obj.code"),
+    }
+
+
+def test_cross_document_ref_without_registry_warns(spark):
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        plan = compile_schema({
+            "$id": "lonely/1",
+            "properties": {"a": {"$ref": "https://elsewhere/s.json#/definitions/x"}},
+        })
+    assert any("unresolvable $ref" in str(x.message) for x in w)
+    assert plan.checks == []
+
+
 def test_if_then_else_and_contains(spark):
     plan = compile_schema({
         "$id": "cond/1",
