@@ -3,14 +3,15 @@
 Images/audio/video ride as ``binary`` columns next to typed metadata, exactly
 like ``pages.html``. Decode / feature-extraction runs through ``mapInPandas``
 — Arrow batches in, Arrow batches out, schema declared up front. PPM (P6)
-and PNG decode and resize FOR REAL (pure stdlib-zlib + numpy codecs, no
-external libs — r4); jpeg/audio kernels stay env-gated stubs because their
-codecs are not installed in this container — the Spark-side contract is
-identical either way.
+PNG, and baseline JPEG decode and resize FOR REAL (pure stdlib + numpy
+codecs, no external libs — r4); only audio kernels stay env-gated stubs
+because their codecs are not installed in this container — the Spark-side
+contract is identical either way.
 
-``decode_image_batch``: P6 payloads hit the real ``_ppm_decode`` kernel and
-PNG payloads ``_png_decode``; other formats raise ``NotImplementedError``
-unless ``fake_decoder=True`` selects the deterministic fake (dimensions +
+``decode_image_batch``: P6 payloads hit the real ``_ppm_decode`` kernel,
+PNG payloads ``_png_decode``, JPEG payloads the ``jpeg`` module's T.81
+decoder; other formats raise ``NotImplementedError`` unless
+``fake_decoder=True`` selects the deterministic fake (dimensions +
 checksum features derived from the bytes) that exercises the full path in
 tests.
 """
@@ -242,12 +243,18 @@ def decode_image_batch(
         if payload.startswith(_PNG_SIG):
             # PNG decodes for real too (stdlib zlib + numpy, r4)
             return _png_decode(payload)
+        if payload.startswith(b"\xff\xd8"):
+            # baseline JPEG decodes for real (T.81 huffman + IDCT, r4)
+            from .jpeg import _parse_jpeg
+
+            w, h, px = _parse_jpeg(payload)
+            return _rgb_features(payload, w, h, px)
         if fake_decoder:
             return _fake_decode(payload)
         raise NotImplementedError(
-            "jpeg/audio codecs are not installed in this environment "
-            "(PPM and PNG decode natively); pass fake_decoder=True for the "
-            "deterministic test kernel"
+            "audio codecs are not installed in this environment (PPM, PNG "
+            "and baseline JPEG decode natively); pass fake_decoder=True for "
+            "the deterministic test kernel"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -300,6 +307,13 @@ def resize_image_batch(
         if payload.startswith(_PNG_SIG):
             # PNG: real decode -> resample -> re-encode (RGB, filter 0)
             return _encode_png(resample(*_parse_png(payload)))
+        if payload.startswith(b"\xff\xd8"):
+            # JPEG: real decode -> resample -> re-encode as lossless PNG
+            # (a pure-numpy JPEG *encoder* would re-quantize; resized
+            # training images want exact bytes, so PNG is the output format)
+            from .jpeg import _parse_jpeg
+
+            return _encode_png(resample(*_parse_jpeg(payload)))
         if fake_kernel:
             # deterministic stand-in: stride-sample the byte stream to the
             # target "pixel" count — stable for identical inputs
@@ -307,9 +321,9 @@ def resize_image_batch(
             step = max(len(payload) // n, 1)
             return payload[::step][:n]
         raise NotImplementedError(
-            "jpeg codecs are not installed in this environment (PPM and PNG "
-            "resize natively); pass fake_kernel=True for the deterministic "
-            "test kernel"
+            "audio codecs are not installed in this environment (PPM, PNG "
+            "and baseline JPEG resize natively); pass fake_kernel=True for "
+            "the deterministic test kernel"
         )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

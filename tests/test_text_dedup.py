@@ -288,8 +288,10 @@ def test_assign_clusters_pandas_matches_folded(emb):
 def test_multimodal_decode_plumbing(spark):
     from fairtracks_validator_spark.operators.multimodal import decode_image_batch
 
+    # neither payload carries a real codec signature (PPM/PNG/JPEG all
+    # decode natively now) — this exercises the fake-kernel plumbing path
     df = spark.createDataFrame(
-        [(1, bytearray(b"\x89PNGfakebytes")), (2, bytearray(b"\xff\xd8jpegfake"))],
+        [(1, bytearray(b"\x89PNGfakebytes")), (2, bytearray(b"RIFFaudiofake"))],
         "id LONG, payload BINARY",
     )
     out = decode_image_batch(df, fake_decoder=True).collect()
