@@ -27,6 +27,7 @@ DECODED_SCHEMA = (
     "id long, n_bytes int, width int, height int, checksum string, "
     "features array<float>"
 )
+DECODED_ERRS_SCHEMA = DECODED_SCHEMA + ", error string"
 
 
 def _parse_ppm(payload: bytes):
@@ -229,12 +230,21 @@ def decode_image_batch(
     id_col: str = "id",
     payload_col: str = "payload",
     fake_decoder: bool = False,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Decode a binary column into typed features via mapInPandas.
 
     Real decoders (PIL / ffmpeg / torchaudio) plug into ``kernel`` — the
     Arrow plumbing, batch iteration, and output schema stay identical.
+
+    ``on_error`` (r4): ``"fail"`` propagates decode errors and kills the
+    task — right for curated inputs; ``"capture"`` adds an ``error`` column
+    and emits one row per input with nulled decode fields on failure — the
+    100 TB shape, where one corrupt payload among 10^12 must not cost the
+    job (the web-scale twin of the JSON reader's ``_corrupt_record``).
     """
+    if on_error not in ("fail", "capture"):
+        raise ValueError(f"on_error must be 'fail' or 'capture', got {on_error!r}")
 
     def kernel(payload: bytes):
         if payload.startswith(b"P6"):
@@ -257,22 +267,36 @@ def decode_image_batch(
             "the deterministic test kernel"
         )
 
+    capture = on_error == "capture"
+
+    def run_kernel(b):
+        if b is None:
+            return (0, 0, "", [], None)
+        if not capture:
+            return (*kernel(bytes(b)), None)
+        try:
+            return (*kernel(bytes(b)), None)
+        except (ValueError, NotImplementedError) as e:
+            return (None, None, None, None, f"{type(e).__name__}: {e}")
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 "id": pdf[id_col].astype("int64"),
                 "n_bytes": pdf[payload_col].map(lambda b: len(b) if b is not None else 0),
             }
-            decoded = pdf[payload_col].map(
-                lambda b: kernel(bytes(b)) if b is not None else (0, 0, "", [])
-            )
+            decoded = pdf[payload_col].map(run_kernel)
             out["width"] = decoded.map(lambda d: d[0])
             out["height"] = decoded.map(lambda d: d[1])
             out["checksum"] = decoded.map(lambda d: d[2])
             out["features"] = decoded.map(lambda d: d[3])
+            if capture:
+                out["error"] = decoded.map(lambda d: d[4])
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(decode, DECODED_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, DECODED_ERRS_SCHEMA if capture else DECODED_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = "id long, width int, height int, payload binary"

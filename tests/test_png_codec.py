@@ -134,6 +134,28 @@ def test_png_decode_features_match_ppm_discipline():
     assert got == _rgb_features(payload, 8, 8, px)
 
 
+def test_decode_on_error_capture(spark):
+    """on_error='capture': corrupt payloads among good ones yield error
+    rows instead of killing the job — one row per input either way."""
+    px = _rng_px(6, 6, 3)
+    good = build_png(px, 2, [0])
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[: len(good) // 2])),
+         (3, bytearray(b"ID3mp3fake")), (4, None)],
+        "id LONG, payload BINARY",
+    )
+    out = {r["id"]: r for r in
+           decode_image_batch(df, on_error="capture").collect()}
+    assert out[1]["error"] is None and (out[1]["width"], out[1]["height"]) == (6, 6)
+    assert out[2]["error"].startswith("ValueError") and out[2]["width"] is None
+    assert out[3]["error"].startswith("NotImplementedError")
+    assert out[4]["error"] is None and out[4]["n_bytes"] == 0
+    with pytest.raises(Exception):  # default fail mode still propagates
+        decode_image_batch(df).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        decode_image_batch(df, on_error="nope")
+
+
 def test_png_spark_decode_and_resize(spark):
     """The real (non-fake) kernels over planted PNGs through mapInPandas:
     decode yields exact dims/checksum, resize output re-decodes byte-exactly
