@@ -300,6 +300,7 @@ def decode_image_batch(
 
 
 RESIZED_SCHEMA = "id long, width int, height int, payload binary"
+RESIZED_ERRS_SCHEMA = RESIZED_SCHEMA + ", error string"
 
 
 def resize_image_batch(
@@ -309,6 +310,7 @@ def resize_image_batch(
     id_col: str = "id",
     payload_col: str = "payload",
     fake_kernel: bool = False,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Resize a binary image column via mapInPandas (same contract as
     :func:`decode_image_batch`: real Arrow plumbing + output schema, codec
@@ -350,26 +352,43 @@ def resize_image_batch(
             "the deterministic test kernel"
         )
 
+    if on_error not in ("fail", "capture"):
+        raise ValueError(f"on_error must be 'fail' or 'capture', got {on_error!r}")
+    capture = on_error == "capture"
+
+    def run_kernel(b):
+        if b is None:
+            return (None, None)
+        if not capture:
+            return (kernel(bytes(b)), None)
+        try:
+            return (kernel(bytes(b)), None)
+        except (ValueError, NotImplementedError) as e:
+            return (None, f"{type(e).__name__}: {e}")
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].astype("int64"),
-                    "width": target_w,
-                    "height": target_h,
-                    "payload": pdf[payload_col].map(
-                        lambda b: kernel(bytes(b)) if b is not None else None
-                    ),
-                }
-            )
+            done = pdf[payload_col].map(run_kernel)
+            out = {
+                "id": pdf[id_col].astype("int64"),
+                "width": target_w,
+                "height": target_h,
+                "payload": done.map(lambda d: d[0]),
+            }
+            if capture:
+                out["error"] = done.map(lambda d: d[1])
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(resize, RESIZED_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        resize, RESIZED_ERRS_SCHEMA if capture else RESIZED_SCHEMA
+    )
 
 
 AUDIO_SCHEMA = (
     "id long, n_bytes int, sample_rate int, n_channels int, n_samples long, "
     "duration_s double, checksum string, features array<float>"
 )
+AUDIO_ERRS_SCHEMA = AUDIO_SCHEMA + ", error string"
 
 
 def _parse_wav(payload: bytes):
@@ -447,6 +466,7 @@ def decode_audio_batch(
     df: DataFrame,
     id_col: str = "id",
     payload_col: str = "payload",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Decode a binary audio column into typed features via mapInPandas —
     the audio twin of :func:`decode_image_batch`. RIFF/WAVE PCM decodes for
@@ -461,13 +481,25 @@ def decode_audio_batch(
             "this environment; RIFF/WAVE PCM decodes natively"
         )
 
+    if on_error not in ("fail", "capture"):
+        raise ValueError(f"on_error must be 'fail' or 'capture', got {on_error!r}")
+    capture = on_error == "capture"
+
+    def run_kernel(b):
+        if b is None:
+            return (0, 0, 0, 0.0, "", [], None)
+        if not capture:
+            return (*kernel(bytes(b)), None)
+        try:
+            return (*kernel(bytes(b)), None)
+        except (ValueError, NotImplementedError) as e:
+            return (None, None, None, None, None, None,
+                    f"{type(e).__name__}: {e}")
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf[payload_col].map(
-                lambda b: kernel(bytes(b)) if b is not None
-                else (0, 0, 0, 0.0, "", [])
-            )
-            yield pd.DataFrame({
+            decoded = pdf[payload_col].map(run_kernel)
+            out = {
                 "id": pdf[id_col].astype("int64"),
                 "n_bytes": pdf[payload_col].map(
                     lambda b: len(b) if b is not None else 0
@@ -478,9 +510,14 @@ def decode_audio_batch(
                 "duration_s": decoded.map(lambda d: d[3]),
                 "checksum": decoded.map(lambda d: d[4]),
                 "features": decoded.map(lambda d: d[5]),
-            })
+            }
+            if capture:
+                out["error"] = decoded.map(lambda d: d[6])
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(decode, AUDIO_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, AUDIO_ERRS_SCHEMA if capture else AUDIO_SCHEMA
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -96,3 +96,26 @@ def test_wav_spark_surface(spark):
     assert ok[3]["checksum"] == "" and ok[3]["n_bytes"] == 0
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         decode_audio_batch(df.where("id = 2")).collect()
+
+    # capture mode: the mp3 row becomes an error row, good rows unaffected
+    cap = {r["id"]: r for r in
+           decode_audio_batch(df, on_error="capture").collect()}
+    assert cap[1]["error"] is None and cap[1]["sample_rate"] == 4000
+    assert cap[2]["error"].startswith("NotImplementedError")
+    assert cap[2]["sample_rate"] is None
+
+
+def test_resize_on_error_capture(spark):
+    from fairtracks_validator_spark.operators.multimodal import (
+        resize_image_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"P6\n2 2\n255\n" + bytes(12))),
+         (2, bytearray(b"P6\n9 9\n255\nshort"))],
+        "id LONG, payload BINARY",
+    )
+    out = {r["id"]: r for r in
+           resize_image_batch(df, 2, 2, on_error="capture").collect()}
+    assert out[1]["error"] is None and out[1]["payload"] is not None
+    assert out[2]["error"].startswith("ValueError") and out[2]["payload"] is None
