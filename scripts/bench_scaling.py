@@ -3,9 +3,21 @@
 No real cluster in this sandbox, so we run the IDENTICAL job — full pages
 validation (schema checks + uniqueness shuffle + verdicts) over the same
 deterministic input — at two parallelism levels (local[N] vs local[4N],
-default N=4; SCALE_N env overrides) in separate JVMs, and report throughput
-at both plus strong-scaling efficiency
-    eff = throughput(4N) / (4 × throughput(N)).
+default N=4; SCALE_N env overrides) and report throughput at both plus
+strong-scaling efficiency  eff = throughput(4N) / (4 × throughput(N)).
+
+r4 methodology (VERDICT r3 #1 — the r3 number was not defensible):
+
+- **Interleaved trials**: N and 4N alternate in adjacent fresh-JVM
+  processes (N,4N,N,4N,…, ROUNDS pairs), so slow host-contention drift
+  hits both levels equally; efficiency is computed PER ROUND from its
+  adjacent pair and reported as median over rounds + spread.
+- **Same-session hardware ceiling**: the pure-CPU busy-loop ceiling is
+  measured before, between, and after the Spark rounds; its own spread is
+  reported next to the engine number it calibrates.
+- **Serial-residue accounting**: each job process reports completed
+  job/stage counts through the public statusTracker API, so the fixed
+  scheduling work per run is visible instead of inferred.
 
 Writes BENCH/BASELINE.md. Usage: python scripts/bench_scaling.py [n_rows]
 """
@@ -14,12 +26,14 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 from datetime import datetime, timezone
 
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROUNDS = int(os.environ.get("SCALE_ROUNDS", "3"))
 
 JOB = r"""
 import json, time, sys, os
@@ -61,8 +75,12 @@ warm = validate_corpus({{"pages/1.0": (plan, tbl.limit(10000))}})
 warm.verdicts.count()
 spark.catalog.clearCache()
 
-# best-of-{repeats}: this sandbox is a shared-host VM with heavy CPU steal;
-# min wall time is the standard noise-robust estimator for scaling studies
+
+# serial-residue accounting: tag the timed runs with a job group and read
+# job/stage counts back through the public statusTracker API
+sc = spark.sparkContext
+sc.setJobGroup("timed", "timed validation runs")
+# best-of-{repeats} inside the process; cross-process rounds interleave N/4N
 walls = []
 for _ in range({repeats}):
     t0 = time.time()
@@ -71,10 +89,18 @@ for _ in range({repeats}):
     nv = res.violations.count()  # second action reuses the shuffle map stage
     walls.append(time.time() - t0)
     spark.catalog.clearCache()
+tr = sc.statusTracker()
+jids = tr.getJobIdsForGroup("timed")
+n_stages = 0
+for j in jids:
+    info = tr.getJobInfo(j)
+    n_stages += len(info.stageIds) if info else 0
 dt = min(walls)
 print("RESULT " + json.dumps({{"cpus": cpus, "rows": n, "violations": nv,
                                "wall_s": round(dt, 2),
                                "walls": [round(w, 2) for w in walls],
+                               "jobs": len(jids) // {repeats},
+                               "stages": n_stages // {repeats},
                                "docs_per_sec": round(n / dt, 1)}}))
 """
 
@@ -123,7 +149,7 @@ print("RESULT " + json.dumps({{"cpus": cpus, "rows": {n_rows},
 """
 
 
-def run(cpus: int, repeats: int = 8, job: str = None, n_rows: int = None) -> dict:
+def run(cpus: int, repeats: int = 3, job: str = None, n_rows: int = None) -> dict:
     code = (job or JOB).format(
         cpus=cpus, n_rows=n_rows or N_ROWS, repo=REPO, repeats=repeats
     )
@@ -161,55 +187,98 @@ def hardware_ceiling(n_lo: int) -> float:
     return hi / (4 * lo)
 
 
+def _med_spread(xs):
+    return statistics.median(xs), min(xs), max(xs)
+
+
 def main():
     n_lo = int(os.environ.get("SCALE_N", "4"))
     prep_rows = int(os.environ.get("SCALE_PREP_ROWS", str(max(N_ROWS // 10, 100_000))))
-    hw = hardware_ceiling(n_lo)
-    r8 = run(n_lo)
-    r32 = run(n_lo * 4)
-    eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
-    p8 = run(n_lo, repeats=4, job=PREP_JOB, n_rows=prep_rows)
-    p32 = run(n_lo * 4, repeats=4, job=PREP_JOB, n_rows=prep_rows)
+
+    # interleaved rounds: ceiling, then (N, 4N) adjacent pairs with a
+    # ceiling sample between rounds — every number shares the same session
+    ceilings = [hardware_ceiling(n_lo)]
+    rounds = []
+    for _ in range(ROUNDS):
+        lo = run(n_lo)
+        hi = run(n_lo * 4)
+        rounds.append((lo, hi))
+        ceilings.append(hardware_ceiling(n_lo))
+
+    effs = [hi["docs_per_sec"] / (4 * lo["docs_per_sec"]) for lo, hi in rounds]
+    eff_med, eff_lo, eff_hi = _med_spread(effs)
+    hw_med, hw_lo, hw_hi = _med_spread(ceilings)
+    # best-of-session throughput per level (least-contended measurement)
+    best_lo = max(rounds, key=lambda p: p[0]["docs_per_sec"])[0]
+    best_hi = max(rounds, key=lambda p: p[1]["docs_per_sec"])[1]
+    rel = min(eff_med / hw_med, 1.0) if hw_med > 0 else 0.0
+
+    p8 = run(n_lo, repeats=3, job=PREP_JOB, n_rows=prep_rows)
+    p32 = run(n_lo * 4, repeats=3, job=PREP_JOB, n_rows=prep_rows)
     eff_prep = p32["docs_per_sec"] / (4 * p8["docs_per_sec"])
+
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
-    rel = min(eff / hw, 1.0) if hw > 0 else 0.0
+    trial_rows = "\n".join(
+        f"| {i + 1} | {lo['wall_s']} | {hi['wall_s']} | "
+        f"{lo['docs_per_sec']:,.0f} | {hi['docs_per_sec']:,.0f} | "
+        f"{e:.3f} | {c:.3f} |"
+        for i, ((lo, hi), e, c) in enumerate(zip(rounds, effs, ceilings[1:]))
+    )
+    verdict_line = (
+        "**meets the ≥ 0.8 north rule**" if eff_med >= 0.8 else
+        (f"below 0.8 in absolute terms but **{rel:.0%} of the same-session "
+         f"hardware ceiling {hw_med:.3f}**" if rel >= 0.8 else
+         "below the 0.8 target")
+    )
     md = f"""# BENCH/BASELINE — scaling efficiency evidence
 
 North rule: throughput scaling efficiency ≥ 0.8 from N → 4N executors.
 Sandboxed as the identical job (full `pages` validation: vectorized schema
 checks + url-uniqueness shuffle + verdict materialization over the same
 deterministic {N_ROWS:,}-row input, separate JVMs, warm-up excluded) at two
-parallelism levels (N and 4N worker threads; best-of-5, shared-host noise).
+parallelism levels (N={n_lo} and 4N={n_lo * 4} worker threads).
 
-Measured {stamp}:
+Methodology (r4): {ROUNDS} interleaved rounds, each a fresh-JVM N run
+immediately followed by a fresh-JVM 4N run (best-of-3 inside each), with
+the pure-CPU busy-loop hardware ceiling sampled before and after every
+round. Efficiency is computed per round from its adjacent pair; the
+headline is the median over rounds.
 
-| parallelism | rows | violations | wall (s) | throughput (docs/s) |
-| --- | --- | --- | --- | --- |
-| local[{r8['cpus']}]  (N)  | {r8['rows']:,} | {r8['violations']:,} | {r8['wall_s']} | {r8['docs_per_sec']:,.0f} |
-| local[{r32['cpus']}] (4N) | {r32['rows']:,} | {r32['violations']:,} | {r32['wall_s']} | {r32['docs_per_sec']:,.0f} |
+Measured {stamp} — raw interleaved trials:
 
-**Strong-scaling efficiency N→4N = throughput(4N) / (4 × throughput(N)) =
-{eff:.3f}** {"(meets ≥ 0.8)" if eff >= 0.8 else "(below the 0.8 target in absolute terms — see ceiling)"}
+| round | N wall (s) | 4N wall (s) | N docs/s | 4N docs/s | efficiency | ceiling after |
+| --- | --- | --- | --- | --- | --- | --- |
+{trial_rows}
 
-Context — what this sandbox can physically deliver: a pure-CPU
-multiprocessing busy-loop (no JVM, no Spark, no I/O) measured a hardware
-N→4N scaling ceiling of **{hw:.3f}** on this shared-host VM (CPU steal).
-Relative to that ceiling the engine achieves **{rel:.0%}** of the
-achievable scaling. On a real multi-executor cluster the serial residue
-measured here (driver/stage scheduling, single shared page cache) is
-per-executor-node and amortizes away; nothing in the plan shape is
-N-dependent: same 64 shuffle partitions, hash-partitioned by url key,
-no driver-side loops, no collect.
+- **Strong-scaling efficiency N→4N: median {eff_med:.3f}**
+  (spread {eff_lo:.3f}–{eff_hi:.3f} over {ROUNDS} rounds) — {verdict_line}.
+- Hardware ceiling (same session): median {hw_med:.3f}, spread
+  {hw_lo:.3f}–{hw_hi:.3f} ({len(ceilings)} samples). The ceiling is what a
+  zero-overhead engine could scale on this shared-host VM under its CPU
+  steal; engine-relative scaling = {rel:.0%}.
+- Best-of-session throughput: N = {best_lo['docs_per_sec']:,.0f} docs/s,
+  4N = {best_hi['docs_per_sec']:,.0f} docs/s
+  ({best_hi['rows']:,} rows, {best_hi['violations']:,} violations —
+  identical at both levels, partition-invariant results).
+- Serial residue per timed run: {best_hi['jobs']} Spark jobs /
+  {best_hi['stages']} stages (statusTracker counts) — fixed driver scheduling
+  work independent of N; on a real multi-executor cluster this and the
+  single shared page cache amortize per node. Nothing in the plan shape is
+  N-dependent: same 64 shuffle partitions, hash-partitioned by url key,
+  no driver-side loops, no collect.
 
-Verdict/violation counts are identical at both levels (partition-invariant
-results). Reproduce: `python scripts/bench_scaling.py {N_ROWS}`.
+Per-round walls (best-of-3 shown above; all trials):
+N = {[p[0]['walls'] for p in rounds]};
+4N = {[p[1]['walls'] for p in rounds]}.
+
+Reproduce: `python scripts/bench_scaling.py {N_ROWS}`.
 
 ## Corpus-prep pipeline (same discipline)
 
 The one-shuffle training-corpus pipeline (Gopher gate → exact dedup →
 hash sample → split) over a {prep_rows:,}-row pages table (prep is
 ~10× more CPU per doc than validation — tokenization + HOF metrics —
-so it runs at {prep_rows:,} rows; best-of-4):
+so it runs at {prep_rows:,} rows; best-of-3):
 
 | parallelism | rows in | rows out | wall (s) | throughput (docs/s) |
 | --- | --- | --- | --- | --- |
@@ -224,7 +293,12 @@ output row counts identical at both levels.
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
-    print(json.dumps({"n8": r8, "n32": r32, "efficiency": round(eff, 3), "hw_ceiling": round(hw, 3)}))
+    print(json.dumps({
+        "rounds": rounds, "efficiencies": [round(e, 3) for e in effs],
+        "efficiency_median": round(eff_med, 3),
+        "hw_ceilings": [round(c, 3) for c in ceilings],
+        "prep_efficiency": round(eff_prep, 3),
+    }))
 
 
 if __name__ == "__main__":
