@@ -1309,18 +1309,28 @@ def _ivf_pretrained_index(spark: SparkSession, sf_dir: str):
     nearest-centroid assignment, persisted and materialized so later probes
     never re-run the training lineage. At cluster scale this relation would
     be written bucketed-by-cluster (sources.tables) so probes prune files;
-    in-session the persisted cache plays that role."""
-    key = (id(spark), sf_dir)
-    hit = _IVF_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
+    in-session the persisted cache plays that role.
+
+    The cache holds the SparkSession object itself and hits only on
+    identity — an ``id(spark)`` key could alias a new session after the old
+    one is garbage-collected (code-review r4) and would serve a DataFrame
+    bound to a stopped context. A superseded entry's persist is released
+    best-effort (its session may already be gone)."""
+    hit = _IVF_INDEX_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1], hit[2]
     from fairtracks_validator_spark.operators.similarity import ivf_index
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_index(emb, "vec_id", "embedding", n_clusters=16)
     assigned = assigned.persist()
     assigned.count()
-    _IVF_INDEX_CACHE[key] = (assigned, centroids)
+    if hit is not None:
+        try:
+            hit[1].unpersist()
+        except Exception:
+            pass  # stopped session — its executors are gone anyway
+    _IVF_INDEX_CACHE[sf_dir] = (spark, assigned, centroids)
     return assigned, centroids
 
 

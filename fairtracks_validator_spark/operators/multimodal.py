@@ -225,6 +225,30 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str, list[float]]:
     return w, ht, h, feats
 
 
+
+def _wrap_kernel(kernel, null_row: tuple, capture: bool):
+    """Shared per-row kernel wrapper (code-review r4): one place defines
+    BOTH the null-payload row and the exception coverage. Capture mode
+    catches every kernel-raised error a corrupt payload can produce —
+    zlib/struct/index/key/zero-division errors surface from real malformed
+    bytes, not just the codecs' own ValueError — because the feature's
+    whole point is that one corrupt payload among 10^12 must not kill the
+    job. ``MemoryError``/``KeyboardInterrupt`` still propagate."""
+
+    def run(b):
+        if b is None:
+            return (*null_row, None)
+        if not capture:
+            return (*kernel(bytes(b)), None)
+        try:
+            return (*kernel(bytes(b)), None)
+        except Exception as e:  # noqa: BLE001 — every decode failure is data
+            nulls = (None,) * len(null_row)
+            return (*nulls, f"{type(e).__name__}: {e}")
+
+    return run
+
+
 def decode_image_batch(
     df: DataFrame,
     id_col: str = "id",
@@ -268,16 +292,7 @@ def decode_image_batch(
         )
 
     capture = on_error == "capture"
-
-    def run_kernel(b):
-        if b is None:
-            return (0, 0, "", [], None)
-        if not capture:
-            return (*kernel(bytes(b)), None)
-        try:
-            return (*kernel(bytes(b)), None)
-        except (ValueError, NotImplementedError) as e:
-            return (None, None, None, None, f"{type(e).__name__}: {e}")
+    run_kernel = _wrap_kernel(kernel, (0, 0, "", []), capture)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -355,16 +370,7 @@ def resize_image_batch(
     if on_error not in ("fail", "capture"):
         raise ValueError(f"on_error must be 'fail' or 'capture', got {on_error!r}")
     capture = on_error == "capture"
-
-    def run_kernel(b):
-        if b is None:
-            return (None, None)
-        if not capture:
-            return (kernel(bytes(b)), None)
-        try:
-            return (kernel(bytes(b)), None)
-        except (ValueError, NotImplementedError) as e:
-            return (None, f"{type(e).__name__}: {e}")
+    run_kernel = _wrap_kernel(lambda b: (kernel(b),), (None,), capture)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -417,6 +423,8 @@ def _parse_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt or data chunk")
     audio_format, n_ch, rate, _brate, _align, bits = fmt
+    if n_ch < 1:
+        raise ValueError(f"malformed WAVE: {n_ch} channels")
     if audio_format != 1:
         raise ValueError(f"unsupported WAVE format code {audio_format} "
                          "(only integer PCM supported)")
@@ -484,17 +492,7 @@ def decode_audio_batch(
     if on_error not in ("fail", "capture"):
         raise ValueError(f"on_error must be 'fail' or 'capture', got {on_error!r}")
     capture = on_error == "capture"
-
-    def run_kernel(b):
-        if b is None:
-            return (0, 0, 0, 0.0, "", [], None)
-        if not capture:
-            return (*kernel(bytes(b)), None)
-        try:
-            return (*kernel(bytes(b)), None)
-        except (ValueError, NotImplementedError) as e:
-            return (None, None, None, None, None, None,
-                    f"{type(e).__name__}: {e}")
+    run_kernel = _wrap_kernel(kernel, (0, 0, 0, 0.0, "", []), capture)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

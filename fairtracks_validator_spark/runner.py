@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -257,6 +258,7 @@ def validate_corpus(
     source_col: str = "source",
     ord_col: str = "ord",
     seed_registries: dict[tuple[str, str], DataFrame] | None = None,
+    cache_narrow: bool = False,
 ) -> ValidationResult:
     """Validate a multi-schema corpus: ``{schema_id: (plan, df)}``.
 
@@ -289,7 +291,8 @@ def validate_corpus(
             and all(is_flat_members(u.members) for u in plan.uniques)
         ):
             return _validate_fused(
-                schema_id, plan, df, source_col, ord_col, empty_violations
+                schema_id, plan, df, source_col, ord_col, empty_violations,
+                cache_narrow=cache_narrow,
             )
 
     all_p1_violations: list[DataFrame] = []
@@ -469,6 +472,7 @@ def _validate_fused(
     source_col: str,
     ord_col: str,
     empty_violations: DataFrame,
+    cache_narrow: bool = False,
 ) -> ValidationResult:
     """Single-scan, single-shuffle validation (the 100 TB shape).
 
@@ -479,13 +483,23 @@ def _validate_fused(
     surrogate so they ride the same shuffle without skewing a null bucket,
     and first-writer-wins resolves in one window. The reference reads every
     document twice (``FairGTrackValidatorCli.java:265,328``); this path scans
-    once.
+    once — PER ACTION.
 
-    Nothing here is persisted: the narrow relation is ~1% of the input
-    width, Spark reuses the shuffle map outputs across the downstream
-    actions on this lineage (skipped stages), and caching nested-array
-    columns through the columnar cache builder is slower than recomputing
-    (MemoryStore unroll contention also anti-scales with executor threads).
+    ``cache_narrow`` (code-review r4 — the old comment here wrongly claimed
+    shuffle-map reuse across sibling actions; each action builds its own
+    QueryExecution with fresh shuffle dependencies, so materializing
+    verdicts THEN violations re-executes the scan+shuffle): False (default)
+    leaves every output lazy. True persists the post-shuffle narrow
+    relation DISK_ONLY (~1% of input width) so each output reads the cache
+    instead of re-scanning the input; release via
+    ``ValidationResult.release()``. Measured trade at 4M pages rows on
+    local[8] (host-local parquet): lazy 7.96 s vs cached 9.62 s for
+    verdicts+violations — the cache WRITE costs more than recomputing a
+    cheap local scan, so the default stays False for single-node use. The
+    flag exists for the cluster shape it is named for: when the input is
+    remote object storage at 10^12 rows, scanning the full corpus once per
+    output dwarfs a 1%-width local spill, and callers materializing
+    several outputs should enable it.
     """
     from pyspark.sql import Window
 
@@ -513,15 +527,20 @@ def _validate_fused(
     if uq is not None:
         cols.append(F.when(all_ok, flat_key_string(uq.members)).alias("_key"))
     narrow = df.select(*cols)
+    persisted: list = []
 
     if uq is None:
+        if cache_narrow:
+            narrow = narrow.persist(StorageLevel.DISK_ONLY)
+            persisted.append(narrow)
         verdicts = narrow.select(
             "source", "ord", F.lit(schema_id).alias("schema_id"),
             F.col("_ok").alias("validated"),
             F.when(F.col("_ok"), "ok").otherwise("failed").alias("status"),
         )
         violations = _explode_fails(narrow, schema_id)
-        return ValidationResult(verdicts=verdicts, violations=violations)
+        return ValidationResult(verdicts=verdicts, violations=violations,
+                                _persisted=persisted)
 
     surrogate = F.concat(
         F.lit("\x00"), F.col("source"), F.lit("\x00"), F.col("ord").cast("string")
@@ -537,6 +556,9 @@ def _validate_fused(
         F.row_number().over(w).alias("_rn"),
         F.first("source").over(w).alias("_first_source"),
     )
+    if cache_narrow:
+        shuffled = shuffled.persist(StorageLevel.DISK_ONLY)
+        persisted.append(shuffled)
 
     verdicts = shuffled.select(
         "source", "ord", F.lit(schema_id).alias("schema_id"),
@@ -565,6 +587,7 @@ def _validate_fused(
     return ValidationResult(
         verdicts=verdicts, violations=violations,
         pk_registries={(schema_id, uq.check_id): pk},
+        _persisted=persisted,
     )
 
 

@@ -204,3 +204,28 @@ def test_streaming_colliding_doc_records_no_keys(spark, tmp_path):
     rows = {(r["source"], r["key_str"]) for r in viol.collect()}
     assert ("B", '["X"]') in rows
     assert all(s != "C" for s, _ in rows), rows  # Y was never registered
+
+
+def test_cache_narrow_fused_outputs_and_release(spark):
+    """cache_narrow=True: fused-path outputs match the lazy path exactly
+    and the persisted narrow relation is released by release() (r4)."""
+    from fairtracks_validator_spark.plans.schema_compile import compile_schema
+    from fairtracks_validator_spark.runner import validate_corpus
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, None), ("c", 3, "x"), ("c2", 4, "y")],
+        "source string, ord long, k string",
+    )
+    plan = compile_schema({
+        "$id": "cn/1", "required": ["k"], "primary_key": ["k"],
+        "properties": {"k": {"minLength": 1}},
+    })
+    lazy = validate_corpus({"cn/1": (plan, df)})
+    cached = validate_corpus({"cn/1": (plan, df)}, cache_narrow=True)
+    want_v = sorted(map(tuple, lazy.verdicts.collect()))
+    want_x = sorted(map(tuple, lazy.violations.collect()))
+    assert sorted(map(tuple, cached.verdicts.collect())) == want_v
+    assert sorted(map(tuple, cached.violations.collect())) == want_x
+    assert cached._persisted  # the narrow relation was cached...
+    cached.release()
+    assert not cached._persisted  # ...and release() dropped it

@@ -149,6 +149,19 @@ def test_decode_on_error_capture(spark):
     assert out[1]["error"] is None and (out[1]["width"], out[1]["height"]) == (6, 6)
     assert out[2]["error"].startswith("ValueError") and out[2]["width"] is None
     assert out[3]["error"].startswith("NotImplementedError")
+    # exception classes BEYOND the codecs' own ValueError must also be
+    # captured (code-review r4): corrupt deflate raises zlib.error
+    import struct as _st
+    import zlib as _zl
+    bad_idat = (SIG + _chunk(b"IHDR", _st.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+                + _chunk(b"IDAT", b"not-deflate-data") + _chunk(b"IEND", b""))
+    try:
+        _zl.decompress(b"not-deflate-data")
+    except Exception as e:
+        assert not isinstance(e, ValueError)  # precondition: distinct class
+    df2 = spark.createDataFrame([(9, bytearray(bad_idat))], "id LONG, payload BINARY")
+    row = decode_image_batch(df2, on_error="capture").collect()[0]
+    assert row["error"] is not None and row["width"] is None
     assert out[4]["error"] is None and out[4]["n_bytes"] == 0
     with pytest.raises(Exception):  # default fail mode still propagates
         decode_image_batch(df).collect()

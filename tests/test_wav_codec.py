@@ -79,6 +79,12 @@ def test_wav_malformed():
     struct.pack_into("<H", bad, idx + 8, 3)  # IEEE float format code
     with pytest.raises(ValueError, match="format code"):
         _parse_wav(bytes(bad))
+    # zero channels must be the documented ValueError, not ZeroDivisionError
+    bad2 = bytearray(make_wav(np.zeros((4, 1))))
+    idx2 = bad2.find(b"fmt ")
+    struct.pack_into("<H", bad2, idx2 + 10, 0)  # n_channels = 0
+    with pytest.raises(ValueError, match="channels"):
+        _parse_wav(bytes(bad2))
 
 
 def test_wav_spark_surface(spark):
