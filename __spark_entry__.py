@@ -1842,8 +1842,11 @@ WITH corpus AS (
 )
 SELECT doc_id::BIGINT AS doc_id,
   len(regexp_extract_all(t, '{_PII_EMAIL_RE}'))::INT AS n_email,
-  len(regexp_extract_all(t, '{_PII_IPV4_RE}'))::INT AS n_ipv4,
-  len(regexp_extract_all(t, '{_PII_PHONE_RE}'))::INT AS n_phone,
+  len(regexp_extract_all(regexp_replace(t,
+      '{_PII_EMAIL_RE}', '<PII>', 'g'), '{_PII_IPV4_RE}'))::INT AS n_ipv4,
+  len(regexp_extract_all(regexp_replace(regexp_replace(t,
+      '{_PII_EMAIL_RE}', '<PII>', 'g'),
+      '{_PII_IPV4_RE}', '<PII>', 'g'), '{_PII_PHONE_RE}'))::INT AS n_phone,
   md5(regexp_replace(regexp_replace(regexp_replace(t,
       '{_PII_EMAIL_RE}', '<PII>', 'g'),
       '{_PII_IPV4_RE}', '<PII>', 'g'),

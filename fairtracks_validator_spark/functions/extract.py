@@ -37,12 +37,17 @@ _extract_udf_ctx = None
 
 
 def extract_text(html_col):
-    """Column expression: extract_text(html) — Arrow-batched pandas UDF."""
+    """Column expression: extract_text(html) — Arrow-batched pandas UDF.
+
+    The cache holds the SparkSession OBJECT and hits on identity: an
+    ``id()`` key could alias a new session once the old one is collected
+    (CPython reuses addresses) and serve a UDF bound to a stopped context
+    (code-review r4)."""
     global _extract_udf, _extract_udf_ctx
     from pyspark.sql import SparkSession
 
-    ctx = id(SparkSession.active())
-    if _extract_udf is None or _extract_udf_ctx != ctx:
+    ctx = SparkSession.active()
+    if _extract_udf is None or _extract_udf_ctx is not ctx:
         _extract_udf = pandas_udf(extract_text_pd, "string")
         _extract_udf_ctx = ctx
     return _extract_udf(html_col)

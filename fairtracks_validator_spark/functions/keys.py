@@ -108,6 +108,8 @@ def key_tuples(member_jpaths: list[str]) -> Column:
     if not member_jpaths:
         return F.array().cast("array<array<string>>")
 
+    from .expr import let_
+
     def _extend(vals):
         def outer(t):
             def inner(x):
@@ -119,7 +121,13 @@ def key_tuples(member_jpaths: list[str]) -> Column:
 
     tuples = F.array(F.array().cast("array<string>"))  # [[]]
     for jp in member_jpaths:
-        tuples = F.flatten(F.transform(tuples, _extend(jpath_values(jp))))
+        # let_-bind the member's value extraction: a Column captured inside
+        # a HOF lambda re-evaluates once PER ELEMENT of the outer array, so
+        # member k's whole jPath subtree would otherwise run once per
+        # accumulated tuple (code-review r4; the shingles() lesson)
+        tuples = F.flatten(
+            let_(jpath_values(jp), lambda vals: F.transform(tuples, _extend(vals)))
+        )
     return tuples
 
 

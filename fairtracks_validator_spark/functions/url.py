@@ -43,17 +43,20 @@ def canonical_url(u: Column) -> Column:
     dropped, remainder SORTED and rejoined.
     """
     u = F.trim(u)
-    u = F.regexp_replace(u, "#.*$", "")
-    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    # fragment-strip applies to the URL branch ONLY — the pass-through
+    # fallback must return non-URL values untouched ('gene#exon1' is an
+    # opaque identifier, not a URL with a fragment; code-review r4)
+    nofrag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
     # _HOST_RE skips any userinfo: credentials are neither part of the
     # canonical identity nor case-insensitive (code-review r3)
-    host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    host = F.lower(F.regexp_extract(nofrag, _HOST_RE, 1))
     host = (
         F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
         .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
         .otherwise(host)
     )
-    rest = F.regexp_replace(u, _AUTH_RE, "")
+    rest = F.regexp_replace(nofrag, _AUTH_RE, "")
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
@@ -74,6 +77,10 @@ def registered_domain(host: Column) -> Column:
     Hosts on a known two-level suffix keep three labels (``bbc.co.uk``);
     everything else keeps two; bare single-label hosts pass through."""
     h = F.lower(F.regexp_replace(host, ":[0-9]+$", ""))
+    # trailing-dot FQDNs ('example.com.') are legal in crawled URLs; the
+    # empty last label would otherwise make every such host collapse to a
+    # per-TLD pseudo-domain like 'com.' (code-review r4)
+    h = F.regexp_replace(h, r"\.$", "")
     parts = F.split(h, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(

@@ -56,6 +56,16 @@ def load_schemas(*dirs: str) -> dict[str, dict]:
                 except (json.JSONDecodeError, OSError) as e:
                     warnings.warn(f"skipping unparseable schema {p}: {e}", stacklevel=2)
                     continue
+                if not isinstance(schema, dict):
+                    # '[]' or '"x"' is valid JSON but not a schema object —
+                    # warn-and-skip like every other malformed-schema path
+                    # instead of AttributeError-ing the whole scan
+                    # (code-review r4)
+                    warnings.warn(
+                        f"schema {p} is not a JSON object, skipping",
+                        stacklevel=2,
+                    )
+                    continue
                 sid = schema.get("$id") or schema.get("id")
                 if not sid:
                     warnings.warn(f"schema {p} has no $id/id, skipping", stacklevel=2)

@@ -32,7 +32,7 @@ NAMESPACES_SNAPSHOT: dict[str, str] = {
 def namespaces_dim(spark: SparkSession, snapshot: dict[str, str] | None = None) -> DataFrame:
     """As a DataFrame, for callers that want the join form instead of the
     folded-constant form."""
-    snap = snapshot or NAMESPACES_SNAPSHOT
+    snap = snapshot if snapshot is not None else NAMESPACES_SNAPSHOT
     rows = [(f"MIR:{i:08d}", ns, ns.upper(), pat) for i, (ns, pat) in enumerate(snap.items())]
     return spark.createDataFrame(rows, "id string, namespace string, name string, pattern string")
 
@@ -42,7 +42,7 @@ def namespace_mir_ids(snapshot: dict[str, str] | None = None) -> dict[str, str]:
     stamps). The reference's CURIE cache resolves lookups by namespace OR id
     (``CurieCache.java:108-115``); feed this to ``Dims.namespace_ids`` so
     schemas may declare ``namespace: "MIR:00000000"``."""
-    snap = snapshot or NAMESPACES_SNAPSHOT
+    snap = snapshot if snapshot is not None else NAMESPACES_SNAPSHOT
     return {f"MIR:{i:08d}": ns for i, ns in enumerate(snap)}
 
 
@@ -72,10 +72,17 @@ _ANCESTOR_ROWS = [
 
 
 def terms_dim(spark: SparkSession, rows: list[tuple] | None = None) -> DataFrame:
-    return spark.createDataFrame(rows or _TERM_ROWS, "ontology string, iri string, label string")
+    # None-safe defaulting: an explicitly EMPTY list models an empty
+    # ontology and must stay empty, not fall back to the fixture
+    # (code-review r4)
+    return spark.createDataFrame(
+        rows if rows is not None else _TERM_ROWS,
+        "ontology string, iri string, label string",
+    )
 
 
 def ancestors_dim(spark: SparkSession, rows: list[tuple] | None = None) -> DataFrame:
     return spark.createDataFrame(
-        rows or _ANCESTOR_ROWS, "ontology string, iri string, ancestor_iri string"
+        rows if rows is not None else _ANCESTOR_ROWS,
+        "ontology string, iri string, ancestor_iri string",
     )

@@ -46,7 +46,11 @@ def pages(
     partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic distributed generator — O(n) work, no driver data."""
-    df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    df = spark.range(
+        0, n_rows, 1,
+        partitions if partitions is not None
+        else spark.sparkContext.defaultParallelism,
+    )
     h = F.xxhash64(F.col("id"), F.lit(seed))
     hmod = F.pmod(h, F.lit(1000))
 

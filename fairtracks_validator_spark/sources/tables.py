@@ -41,21 +41,25 @@ def is_catalog_table(spark: SparkSession, ref: str) -> bool:
     return spark.conf.get(f"spark.sql.catalog.{head}", None) is not None
 
 
+def _table_name(spark: SparkSession, ref: str) -> str | None:
+    """Resolved catalog-table name for ``ref``, or None for a path — the
+    single point of 'table:'-prefix handling (code-review r4)."""
+    if ref.startswith("table:"):
+        return ref[len("table:"):]
+    return ref if is_catalog_table(spark, ref) else None
+
+
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
     """Read an Iceberg/v2 catalog table or a parquet path (see module doc)."""
-    if ref.startswith("table:"):
-        return spark.read.table(ref[len("table:"):])
-    if is_catalog_table(spark, ref):
-        return spark.read.table(ref)
-    return spark.read.parquet(ref)
+    name = _table_name(spark, ref)
+    return spark.read.table(name) if name is not None else spark.read.parquet(ref)
 
 
 def write_table(df: DataFrame, ref: str, mode: str = "append") -> None:
     """Write to an Iceberg/v2 catalog table (createOrReplace/append) or a
     parquet path. ``mode``: ``append`` | ``overwrite``."""
-    spark = df.sparkSession
-    if ref.startswith("table:") or is_catalog_table(spark, ref):
-        name = ref[len("table:"):] if ref.startswith("table:") else ref
+    name = _table_name(df.sparkSession, ref)
+    if name is not None:
         if mode == "overwrite":
             df.writeTo(name).createOrReplace()
         else:

@@ -193,3 +193,32 @@ def test_additional_properties_map_encoding(spark):
     res = validate_corpus({"m/1": (plan, df)})
     assert rows_set(res.violations, ["source", "check_id"]) == {
         ("bad", "additionalProperties:extra")}
+
+
+def test_load_schemas_non_object_json_skipped(tmp_path):
+    """code-review r4: '[]' is valid JSON but not a schema object — warn
+    and continue, don't AttributeError the whole scan."""
+    import json as _json
+
+    (tmp_path / "stray.json").write_text("[1, 2, 3]")
+    (tmp_path / "good.json").write_text(_json.dumps({"$id": "g/1"}))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        schemas = load_schemas(str(tmp_path))
+    assert set(schemas) == {"g/1"}
+    assert any("not a JSON object" in str(x.message) for x in w)
+
+
+def test_dims_empty_overrides_stay_empty(spark):
+    """code-review r4: an explicitly empty snapshot/row list models an
+    empty registry/ontology — it must not fall back to the fixture."""
+    from fairtracks_validator_spark.sources.dims import (
+        ancestors_dim,
+        namespaces_dim,
+        terms_dim,
+    )
+
+    assert namespaces_dim(spark, {}).count() == 0
+    assert terms_dim(spark, []).count() == 0
+    assert ancestors_dim(spark, []).count() == 0
+    assert namespaces_dim(spark).count() > 0  # default fixture intact

@@ -54,3 +54,28 @@ def test_custom_token(docs):
         redact_pii("text", token="[MASK]").alias("t")
     ).collect()[0]["t"]
     assert out == "call [MASK] today"
+
+
+def test_redact_token_with_dollar_and_backslash(spark):
+    """code-review r4: replacement metacharacters in the token must be
+    escaped (Matcher.quoteReplacement semantics), not crash or corrupt."""
+    from fairtracks_validator_spark.functions.pii import redact_pii
+
+    df = spark.createDataFrame([("mail a@b.com now",)], "t string")
+    for token in ("[$REDACTED]", "x\\y$1"):
+        got = df.select(redact_pii("t", token=token).alias("r")).collect()[0]["r"]
+        assert got == f"mail {token} now"
+
+
+def test_pii_counts_match_redaction_passes(spark):
+    """code-review r4: a span matched by two patterns counts once — for the
+    pattern whose redaction pass actually consumes it."""
+    from fairtracks_validator_spark.functions.pii import pii_counts, redact_pii
+
+    # the email pass consumes '+12345678@example.com' entirely, so the
+    # phone pass sees nothing: n_phone must be 0, matching the output
+    df = spark.createDataFrame([("call +12345678@example.com ok",)], "t string")
+    row = df.select(pii_counts("t").alias("c"),
+                    redact_pii("t").alias("r")).collect()[0]
+    assert row["c"]["n_email"] == 1 and row["c"]["n_phone"] == 0
+    assert row["r"] == "call <PII> ok"

@@ -84,3 +84,27 @@ def test_url_host(spark):
     )
     got = rows_set(df.select("id", url_host(F.col("u")).alias("h")))
     assert got == {(1, "a.b.c"), (2, "")}
+
+
+def test_canonical_url_non_url_hash_passthrough(spark):
+    """code-review r4: non-URL values keep their '#' — 'gene#exon1' and
+    'gene#exon2' must stay distinct identifiers."""
+    from fairtracks_validator_spark.functions.url import canonical_url
+
+    df = spark.createDataFrame(
+        [("gene#exon1",), ("gene#exon2",), ("  obo:GO#0008150 ",),
+         ("https://a.example.com/p#frag",)], "u string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == ["gene#exon1", "gene#exon2", "obo:GO#0008150",
+                   "https://a.example.com/p"]
+
+
+def test_registered_domain_trailing_dot(spark):
+    from fairtracks_validator_spark.functions.url import registered_domain
+
+    df = spark.createDataFrame(
+        [("example.com.",), ("www.bbc.co.uk.",), ("Example.COM:8080",)],
+        "h string")
+    got = [r["d"] for r in
+           df.select(registered_domain(F.col("h")).alias("d")).collect()]
+    assert got == ["example.com", "bbc.co.uk", "example.com"]
