@@ -97,7 +97,6 @@ class CheckpointedValidation:
         partitions (None = all). Returns a summary dict. Call again to resume.
         """
         spark = df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         work = df.withColumn(
             "part_id", F.pmod(F.xxhash64(key_col), F.lit(self.n_partitions)).cast("int")
         )
@@ -139,12 +138,8 @@ class CheckpointedValidation:
             reg = spark.read.parquet(self.registry_dir)
             # schema-failed docs never record/probe keys
             # (ValidatedJSONSchema.java:360-392)
-            survivors = subset.join(
-                res.violations.select(
-                    F.col("source").alias(source_col), F.col("ord").alias(ord_col)
-                ).distinct(),
-                [source_col, ord_col],
-                "left_anti",
+            survivors = _anti_on_identity(
+                subset, res.violations, source_col, ord_col
             )
             violations = violations.unionByName(
                 _dup_violations_vs_registry(survivors, plan, reg, source_col, ord_col)
@@ -156,15 +151,25 @@ class CheckpointedValidation:
             from .operators.fk import fk_check
 
             extra = extra_registries or {}
-            masked = subset.join(
-                violations.select(
-                    F.col("source").alias(source_col), F.col("ord").alias(ord_col)
-                ).distinct(),
-                [source_col, ord_col],
-                "left_anti",
-            )
+            masked = _anti_on_identity(subset, violations, source_col, ord_col)
             for fk in plan.fks:
                 pk = extra.get((fk.target_schema_id, fk.target_check_id))
+                if pk is None and fk.target_schema_id == plan.schema_id:
+                    # self-referential FK (parent_url -> own url PK): the
+                    # table IS registered — probe its frozen registry, or an
+                    # empty one when the plan declares no such constraint
+                    # (J3), never "no available schema" (code-review r4)
+                    if _exists(self.registry_dir):
+                        pk = spark.read.parquet(self.registry_dir).where(
+                            (F.col("schema_id") == plan.schema_id)
+                            & (F.col("check_id") == fk.target_check_id)
+                        )
+                    else:
+                        pk = spark.createDataFrame(
+                            [],
+                            "schema_id string, check_id string, key_str "
+                            "string, first_source string, first_ord long",
+                        )
                 violations = violations.unionByName(
                     fk_check(
                         masked, fk.check_id, fk.members, plan.schema_id,
@@ -203,6 +208,10 @@ class CheckpointedValidation:
                 "status", F.when(F.col("validated"), "ok").otherwise("failed")
             )
         )
+        # violations are output-sized and feed BOTH writes (verdicts via the
+        # failed-join, viol_out directly) — persist once so the two writes
+        # do not each re-execute the violation pipeline (code-review r4)
+        violations = violations.persist()
         part_of = subset.select(
             F.col(source_col).alias("_psrc"), F.col(ord_col).cast("long").alias("_pord"),
             "part_id",
@@ -218,13 +227,29 @@ class CheckpointedValidation:
             .na.fill({"part_id": -1})
         )
 
-        verdicts.write.mode("overwrite").partitionBy("part_id").parquet(self.verdicts_dir)
-        viol_out.write.mode("overwrite").partitionBy("part_id").parquet(self.violations_dir)
+        # dynamic overwrite scoped to OUR writes and restored after — this
+        # is session-global config, and leaving it flipped silently changes
+        # overwrite semantics for unrelated writers (code-review r4)
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            verdicts.write.mode("overwrite").partitionBy("part_id").parquet(
+                self.verdicts_dir
+            )
+            viol_out.write.mode("overwrite").partitionBy("part_id").parquet(
+                self.violations_dir
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
 
         # ---- lineage append (only after data committed)
         # stats come from READING BACK the just-committed parquet (output-
-        # sized), not from re-running the validation DAG a second time —
-        # one validation execution per partition batch.
+        # sized), not from re-running the validation DAG — each write scans
+        # the subset once; the violation pipeline ran once (persisted).
         wall = time.time() - t0
         # explicit schemas: a processed batch may legitimately contain zero
         # violations (or zero rows under max_partitions), leaving a dir with
@@ -267,8 +292,27 @@ class CheckpointedValidation:
             )
         )
         stats.write.mode("append").parquet(self.lineage_dir)
+        violations.unpersist()
         res.release()  # outputs committed; drop this batch's caches
         return {"processed": todo, "skipped": sorted(done), "wall_time_s": wall}
+
+
+def _anti_on_identity(
+    left: DataFrame, viol: DataFrame, source_col: str, ord_col: str
+) -> DataFrame:
+    """left_anti on the (source, ord) identity, NULL-SAFE on source: a
+    null-source doc's own violation rows must still mask it out of dup/FK
+    probing — plain equi-joins never match the null and the doc stays a
+    "survivor" (code-review r4; same class as the verdict pairing below)."""
+    f = viol.select(
+        F.col("source").alias("_asrc"), F.col("ord").alias("_aord")
+    ).distinct()
+    return left.join(
+        f,
+        left[source_col].eqNullSafe(f["_asrc"])
+        & (left[ord_col].cast("long") == f["_aord"]),
+        "left_anti",
+    )
 
 
 def _row_checks_only(plan: ValidationPlan) -> ValidationPlan:

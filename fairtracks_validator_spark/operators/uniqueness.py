@@ -41,6 +41,9 @@ from ..functions.keys import (
 class UniquenessResult:
     violations: DataFrame  # source, ord, schema_id, check_id, key_str, reason, description
     pk: DataFrame  # schema_id, check_id, key_str, first_source — the recorded registry
+    # relations the cascade path cached; the caller registers them for
+    # release (code-review r4 — they previously outlived release())
+    persisted: tuple = ()
 
 
 def _doc_keys(
@@ -87,10 +90,11 @@ def uniqueness_check(
     keys = _doc_keys(df, check_id, members, source_col, ord_col)
 
     multi_key = has_array_fanout(members)
+    cached: tuple = ()
     if not multi_key:
         colliding, pk_keys = _resolve_single_pass(keys)
     else:
-        colliding, pk_keys = _resolve_cascade(keys, cascade_rounds)
+        colliding, pk_keys, cached = _resolve_cascade(keys, cascade_rounds)
 
     violations = colliding.select(
         "source",
@@ -114,7 +118,7 @@ def uniqueness_check(
         # ValidatedJSONSchema.java:378-383 flags same-file duplicates too)
         F.col("ord").cast("long").alias("first_ord"),
     )
-    return UniquenessResult(violations=violations, pk=pk)
+    return UniquenessResult(violations=violations, pk=pk, persisted=cached)
 
 
 def _resolve_single_pass(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -143,7 +147,7 @@ def _resolve_single_pass(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def _resolve_cascade(
     keys: DataFrame, max_rounds: int
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, tuple]:
     """Alternating fixpoint for multi-key docs (array fan-out).
 
     colliding(d) ⟺ ∃k∈keys(d) recorded by an earlier non-colliding doc.
@@ -152,20 +156,19 @@ def _resolve_cascade(
     we stop at the cap (conservative over-report, documented deviation).
     """
     # keys and the FINAL round's colliding set stay cached (the returned
-    # lazy plans reference both); each superseded round's cache is released
-    # immediately — they were pure leak (code-review r3).
+    # lazy plans reference both) and are handed back to the caller for
+    # release() (code-review r4); each superseded round's cache is released
+    # immediately — pure leak otherwise (code-review r3).
     keys = keys.cache()
     # doc id = (source, ord); ord is the total order
     active = keys  # keys of docs currently assumed recorded
     colliding_docs = None
     prev_count = -1
     for _ in range(max_rounds):
-        w = Window.partitionBy("key_str").orderBy("ord", "source")
-        ranked = active.select(
-            "source", "ord", "key_str", F.first("source").over(w).alias("first_source")
-        )
         # a doc collides if any of its keys has an earlier recorded holder
-        firsts = ranked.groupBy("key_str").agg(
+        # (blame attribution needs no window here — the final pass below
+        # recomputes firsts for it; code-review r4 dropped a dead window)
+        firsts = active.groupBy("key_str").agg(
             F.min(F.struct("ord", "source")).alias("_first")
         )
         probe = keys.join(firsts, "key_str", "inner").where(
@@ -192,4 +195,4 @@ def _resolve_cascade(
         .where(F.struct("ord", "source") > F.col("_first"))
         .select("source", "ord", "key_str", F.col("_first.source").alias("first_source"))
     )
-    return colliding, registry
+    return colliding, registry, (keys, colliding_docs)

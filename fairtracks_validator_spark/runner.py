@@ -325,10 +325,13 @@ def validate_corpus(
             res = uniqueness_check(
                 survivors, uq.check_id, uq.members, schema_id, source_col, ord_col
             )
-            # no extra cache: uniqueness_check persists its ranked keys, and
-            # the registry is a cheap filter over that. Emptiness (J3) is
+            # cascade-path caches (fan-out keys) register on the run's
+            # persisted list so release() drops them; the single-pass path
+            # deliberately caches nothing (see _resolve_single_pass).
+            # Emptiness (J3) is
             # evaluated lazily — only when some FK actually targets this
             # registry — so corpora without FKs never pay the extra job.
+            persisted.extend(res.persisted)
             pk = res.pk
             seed = (seed_registries or {}).get((schema_id, uq.check_id))
             if seed is not None:
@@ -414,9 +417,22 @@ def validate_corpus(
     all_docs = verdict_parts[0]
     for p in verdict_parts[1:]:
         all_docs = all_docs.unionByName(p)
-    failed = violations.select("source", "ord").distinct().withColumn("_f", F.lit(True))
+    # null-safe identity join INCLUDING schema_id (code-review r4): a plain
+    # equi join never matches a null source (doc fails yet reads validated),
+    # and joining on (source, ord) alone lets one schema's violation flip a
+    # doc of another schema that happens to share the identity pair
+    failed = violations.select(
+        F.col("source").alias("_fsrc"), F.col("ord").alias("_ford"),
+        F.col("schema_id").alias("_fsid"),
+    ).distinct().withColumn("_f", F.lit(True))
     verdicts = (
-        all_docs.join(failed, ["source", "ord"], "left")
+        all_docs.join(
+            failed,
+            all_docs["source"].eqNullSafe(failed["_fsrc"])
+            & all_docs["ord"].eqNullSafe(failed["_ford"])
+            & (all_docs["schema_id"] == failed["_fsid"]),
+            "left",
+        )
         .select(
             "source", "ord", "schema_id",
             F.coalesce(~F.col("_f"), F.lit(True)).alias("validated"),
@@ -436,6 +452,7 @@ def validate_routed(
     source_col: str = "source",
     ord_col: str = "ord",
     seed_registries: dict[tuple[str, str], DataFrame] | None = None,
+    cache_narrow: bool = False,
 ) -> ValidationResult:
     """Route a heterogeneous corpus by its discriminator column and validate.
 
@@ -448,13 +465,17 @@ def validate_routed(
     from .sources.catalog import orphan_verdicts, route_corpus
 
     corpus, orphans = route_corpus(df, plans, schema_id_col)
-    res = validate_corpus(corpus, source_col, ord_col, seed_registries)
+    res = validate_corpus(corpus, source_col, ord_col, seed_registries,
+                          cache_narrow=cache_narrow)
     verdicts = res.verdicts.unionByName(orphan_verdicts(orphans))
     violations = res.violations.unionByName(
         orphans.select(*[c.split()[0] for c in VIOLATION_SCHEMA.split(", ")])
     )
+    # carry the inner run's caches so release() on the routed result works
+    # (code-review r4 — dropping them leaked every persisted relation)
     return ValidationResult(
-        verdicts=verdicts, violations=violations, pk_registries=res.pk_registries
+        verdicts=verdicts, violations=violations,
+        pk_registries=res.pk_registries, _persisted=res._persisted,
     )
 
 
@@ -542,8 +563,17 @@ def _validate_fused(
         return ValidationResult(verdicts=verdicts, violations=violations,
                                 _persisted=persisted)
 
-    surrogate = F.concat(
-        F.lit("\x00"), F.col("source"), F.lit("\x00"), F.col("ord").cast("string")
+    # null-proof surrogate (code-review r4): F.concat null-propagates, so a
+    # null source collapsed every no-key null-source row into ONE null
+    # bucket — false dup_pk violations. The isNull flags make the sentinel
+    # collision-free against real values.
+    surrogate = F.concat_ws(
+        "\x00",
+        F.lit(""),
+        F.col("source").isNull().cast("string"),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.col("ord").isNull().cast("string"),
+        F.coalesce(F.col("ord").cast("string"), F.lit("")),
     )
     # NOT persisted: caching a nested-array relation through the columnar
     # cache builder is slower than recomputing, and Spark reuses the shuffle

@@ -229,3 +229,145 @@ def test_cache_narrow_fused_outputs_and_release(spark):
     assert cached._persisted  # the narrow relation was cached...
     cached.release()
     assert not cached._persisted  # ...and release() dropped it
+
+
+def test_null_source_doc_fails_verdict_and_skips_probes(spark):
+    """code-review r4: a null-source doc that fails a check must read
+    validated=False (null-safe verdict join) — in both the generic and the
+    fused paths — and null-source all-ok docs must not collapse into one
+    surrogate bucket as false dup_pks."""
+    from fairtracks_validator_spark.plans.schema_compile import compile_schema
+    from fairtracks_validator_spark.runner import validate_corpus
+
+    df = spark.createDataFrame(
+        [(None, 1, None), (None, 2, "k2"), (None, 3, "k3"), ("s4", 4, None)],
+        "source string, ord long, k string",
+    )
+    # fused path (single schema, one flat PK, no FKs): ord1 fails required,
+    # ords 2/3 are ok distinct keys, ords with null k get unique surrogates
+    plan = compile_schema({
+        "$id": "ns/1", "required": ["k"], "primary_key": ["k"],
+        "properties": {"k": {"minLength": 1}},
+    })
+    res = validate_corpus({"ns/1": (plan, df)})
+    v = {r["ord"]: r["validated"] for r in res.verdicts.collect()}
+    assert v == {1: False, 2: True, 3: True, 4: False}
+    kinds = [r["check_id"] for r in res.violations.collect()]
+    assert sorted(kinds) == ["required:k", "required:k"]  # no dup_pk rows
+
+    # generic path (FK forces it): same verdict expectation
+    plan2 = compile_schema({
+        "$id": "ns/2", "required": ["k"], "primary_key": ["k"],
+        "properties": {"k": {"minLength": 1}},
+        "foreign_keys": [{"schema_id": "ns/2", "members": ["k"]}],
+    })
+    res2 = validate_corpus({"ns/2": (plan2, df)})
+    v2 = {r["ord"]: r["validated"] for r in res2.verdicts.collect()}
+    assert v2[1] is False and v2[4] is False and v2[2] and v2[3]
+    res2.release()
+
+
+def test_multischema_shared_identity_does_not_cross_flip(spark):
+    """code-review r4: two schemas whose tables share a (source, ord) pair
+    — a violation in one must not fail the other's doc."""
+    from fairtracks_validator_spark.plans.schema_compile import compile_schema
+    from fairtracks_validator_spark.runner import validate_corpus
+
+    bad = spark.createDataFrame([("s", 1, None)], "source string, ord long, a string")
+    good = spark.createDataFrame([("s", 1, "ok")], "source string, ord long, b string")
+    pa = compile_schema({"$id": "x/a", "required": ["a"],
+                         "foreign_keys": [{"schema_id": "x/a", "members": []}]})
+    pb = compile_schema({"$id": "x/b", "required": ["b"],
+                         "foreign_keys": [{"schema_id": "x/b", "members": []}]})
+    res = validate_corpus({"x/a": (pa, bad), "x/b": (pb, good)})
+    got = {(r["schema_id"], r["validated"]) for r in res.verdicts.collect()}
+    assert got == {("x/a", False), ("x/b", True)}
+    res.release()
+
+
+def test_routed_result_carries_persisted(spark):
+    """code-review r4: release() on a routed result must drop the inner
+    run's caches (they were silently discarded before)."""
+    from fairtracks_validator_spark.plans.schema_compile import compile_schema
+    from fairtracks_validator_spark.runner import validate_routed
+
+    df = spark.createDataFrame(
+        [("a", 1, "x/a", "k1"), ("b", 2, "x/a", "k1")],
+        "source string, ord long, schema_id string, k string",
+    )
+    plan = compile_schema({
+        "$id": "x/a", "primary_key": ["k"],
+        "properties": {"k": {"minLength": 1}},
+        "foreign_keys": [{"schema_id": "x/a", "members": ["k"]}],
+    })
+    res = validate_routed(df, {"x/a": plan})
+    res.violations.count()
+    assert res._persisted  # FK-touched registry etc. are registered
+    res.release()
+    assert not res._persisted
+
+
+def test_cascade_uniqueness_caches_released(spark):
+    """code-review r4: the fan-out cascade's cached relations ride the
+    result and release() drops them."""
+    from fairtracks_validator_spark.plans.schema_compile import compile_schema
+    from fairtracks_validator_spark.runner import validate_corpus
+
+    df = spark.createDataFrame(
+        [("a", 1, ["k1", "k2"]), ("b", 2, ["k2", "k3"]), ("c", 3, ["k3"])],
+        "source string, ord long, ks array<string>",
+    )
+    plan = compile_schema({
+        "$id": "casc/1", "primary_key": ["ks"],
+        "properties": {"ks": {"items": {"type": "string"}}},
+        # FK forces the generic (non-fused) path where the cascade runs
+        "foreign_keys": [{"schema_id": "casc/1", "members": []}],
+    })
+    res = validate_corpus({"casc/1": (plan, df)})
+    res.violations.count()
+    assert len(res._persisted) >= 2  # cascade keys + final colliding set
+    res.release()
+
+
+def test_checkpoint_self_referential_fk(spark, tmp_path):
+    """code-review r4: an FK targeting the table's own PK must probe the
+    frozen registry — not flag every doc with 'no available schema'."""
+    from fairtracks_validator_spark.checkpoint import CheckpointedValidation
+    from fairtracks_validator_spark.plans.schema_compile import compile_schema
+
+    df = spark.createDataFrame(
+        [("u1", 1, "u1", None), ("u2", 2, "u2", "u1"),
+         ("u3", 3, "u3", "u1"), ("u4", 4, "u4", "zzz-missing")],
+        "url string, ord long, source string, parent_url string",
+    )
+    plan = compile_schema({
+        "$id": "pages/sr", "primary_key": ["url"],
+        "properties": {"url": {"minLength": 1},
+                       "parent_url": {"minLength": 1}},
+        "foreign_keys": [{"schema_id": "pages/sr", "members": ["parent_url"]}],
+    })
+    cp = CheckpointedValidation(out_dir=str(tmp_path / "cp"), n_partitions=4)
+    out = cp.run(df, plan, key_col="url")
+    assert len(out["processed"]) == 4
+    viol = spark.read.parquet(cp.violations_dir)
+    rows = {(r["source"], r["reason"]) for r in viol.collect()}
+    # only u4's dangling parent_url fails — and as a missing-key FK
+    # violation, not fk_no_schema
+    assert all(r[1] != "fk_no_schema" for r in rows)
+    assert ("u4", "fk_missing") in rows or any(s == "u4" for s, _ in rows)
+    assert not any(s in ("u1", "u2", "u3") for s, _ in rows)
+
+
+def test_checkpoint_restores_overwrite_mode(spark, tmp_path):
+    """code-review r4: run() must not leave partitionOverwriteMode flipped."""
+    from fairtracks_validator_spark.checkpoint import CheckpointedValidation
+    from fairtracks_validator_spark.plans.schema_compile import compile_schema
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    df = spark.createDataFrame(
+        [("u1", 1, "u1")], "url string, ord long, source string")
+    plan = compile_schema({"$id": "pg/m", "primary_key": ["url"],
+                           "properties": {"url": {"minLength": 1}}})
+    CheckpointedValidation(out_dir=str(tmp_path / "cpm"), n_partitions=2).run(
+        df, plan, key_col="url")
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
