@@ -135,6 +135,15 @@ def type_check(jpath: str, json_type: str) -> Check:
     )
 
 
+
+def _pct(text: str) -> str:
+    """Escape '%' for use in a format_string LITERAL: schema-derived text
+    (patterns, const/enum values, namespaces, property paths) may contain
+    printf metacharacters, and an unescaped '%[' kills the whole job with
+    UnknownFormatConversionException at runtime (code-review r4)."""
+    return text.replace("%", "%%")
+
+
 # ---------------------------------------------------------------- P3 const
 def const_check(jpath: str, value) -> Check:
     sval = _json_scalar_str(value)
@@ -142,7 +151,10 @@ def const_check(jpath: str, value) -> Check:
     return Check(
         check_id=f"const:{jpath}",
         ok=_forall(jpath, pred),
-        message=F.format_string(f"expected const {value!r}, found %s", _first_bad(jpath, pred)),
+        message=F.format_string(
+            _pct(f"expected const {value!r}, found ") + "%s",
+            _first_bad(jpath, pred),
+        ),
     )
 
 
@@ -153,7 +165,10 @@ def enum_check(jpath: str, values: list) -> Check:
     return Check(
         check_id=f"enum:{jpath}",
         ok=_forall(jpath, pred),
-        message=F.format_string(f"%s is not a valid enum value of {svals}", _first_bad(jpath, pred)),
+        message=F.format_string(
+            "%s" + _pct(f" is not a valid enum value of {svals}"),
+            _first_bad(jpath, pred),
+        ),
     )
 
 
@@ -172,7 +187,8 @@ def pattern_check(jpath: str, pattern: str) -> Check:
         check_id=f"pattern:{jpath}",
         ok=_forall(jpath, pred),
         message=F.format_string(
-            f"string %s does not match pattern {pattern}", _first_bad(jpath, pred)
+            "string %s does not match pattern " + _pct(pattern),
+            _first_bad(jpath, pred),
         ),
     )
 
@@ -309,8 +325,29 @@ def one_of_check(jpath: str, preds: list[Column]) -> Check:
         f"oneOf:{jpath}",
         ~presence(jpath) | (n == 1),
         F.format_string(
-            f"value at {jpath} matches %s oneOf subschemas instead of exactly 1", n
+            "value at " + _pct(jpath)
+            + " matches %s oneOf subschemas instead of exactly 1", n
         ),
+    )
+
+
+def elementwise_combinator_check(kw: str, jpath: str, elem_preds) -> Check:
+    """anyOf/oneOf at a FAN-OUT path apply PER ELEMENT — draft-07 validates
+    each instance against the combinator, so a heterogeneous array where
+    every element matches SOME branch is valid even though no single branch
+    matches all elements (code-review r4: folding each branch with forall
+    over the whole value set produced false violations there)."""
+
+    def elem_ok(v: Column) -> Column:
+        n = F.lit(0)
+        for p in elem_preds:
+            n = n + F.coalesce(p(v), F.lit(False)).cast("int")
+        return (n >= 1) if kw == "anyOf" else (n == 1)
+
+    ok = F.forall(_vals(jpath), elem_ok)
+    return Check(
+        f"{kw}:{jpath}", ok,
+        F.lit(f"an element at {jpath} fails the {kw} combinator"),
     )
 
 
@@ -365,7 +402,8 @@ def tuple_item_check(jpath: str, idx: int, pred) -> Check:
         check_id=f"items:{jpath}[{idx}]",
         ok=ok,
         message=F.format_string(
-            f"element %s at {jpath}[{idx}] violates the positional subschema", v
+            "element %s at " + _pct(f"{jpath}[{idx}]")
+            + " violates the positional subschema", v
         ),
     )
 
@@ -604,7 +642,8 @@ def pattern_properties_check(jpath: str, pattern: str, pred) -> Check:
         f"patternProperties:{jpath}:{pattern}",
         ok,
         F.format_string(
-            f"value %s of key %s fails the patternProperties subschema for {pattern}",
+            "value %s of key %s fails the patternProperties subschema for "
+            + _pct(pattern),
             bad.getField("value").cast("string"),
             bad.getField("key"),
         ),
@@ -716,7 +755,7 @@ def curie_check(
                 "In 'canonical' mode, the value must be prefixed by the namespace"))
             .when(~ns_ok, F.format_string(
                 "The namespace %s is not in the list of the accepted ones: "
-                + ", ".join(namespaces), prefix))
+                + _pct(", ".join(namespaces)), prefix))
             .when(~known_prefix, F.format_string(
                 "The namespace %s was not found in identifiers.org cache", prefix))
             .otherwise(F.format_string("Match failed for CURIE %s", v))
@@ -728,7 +767,7 @@ def curie_check(
                 "Incorrect URI '%s' (only acceptable in loose match type)", v)
             ).otherwise(F.format_string(
                 "The namespace %s is not in the list of the accepted ones: "
-                + ", ".join(namespaces), prefix))
+                + _pct(", ".join(namespaces)), prefix))
             return ok, msg
 
         if match_type == "canonical":
@@ -776,16 +815,16 @@ TERM_FOLD_MAX = 100_000
 TERM_FOLD_MAX_SUFFIX = 10_000
 
 
-def _term_candidate_values(
-    match_type: str,
+def _filtered_terms(
     ontologies: list[str],
     terms: DataFrame,
     ancestors: DataFrame | None,
     required_ancestors: list[str] | None,
 ) -> DataFrame:
-    """Distinct dimension values a document value must hit (IRIs, or labels
-    for matchType=label), after the ontology + ancestors-closure filters
-    (``extensions/TermFormat.java:91-112, 264-267``)."""
+    """Ontology-scoped terms dim after the ancestors-closure filter — the
+    SINGLE definition shared by the folded and broadcast-join term forms,
+    so a closure-semantics fix cannot silently apply to one path only
+    (code-review r4)."""
     flagged = terms.where(F.col("ontology").isin(ontologies))
     if required_ancestors:
         if ancestors is None:
@@ -797,6 +836,20 @@ def _term_candidate_values(
             .distinct()
         )
         flagged = flagged.join(anc_ok, "iri", "left_semi")
+    return flagged
+
+
+def _term_candidate_values(
+    match_type: str,
+    ontologies: list[str],
+    terms: DataFrame,
+    ancestors: DataFrame | None,
+    required_ancestors: list[str] | None,
+) -> DataFrame:
+    """Distinct dimension values a document value must hit (IRIs, or labels
+    for matchType=label), after the ontology + ancestors-closure filters
+    (``extensions/TermFormat.java:91-112, 264-267``)."""
+    flagged = _filtered_terms(ontologies, terms, ancestors, required_ancestors)
     col = "label" if match_type == "label" else "iri"
     return flagged.select(F.col(col).alias("v")).where(F.col("v").isNotNull()).distinct()
 
@@ -841,9 +894,10 @@ def fold_term_check(
         check_id=f"format:term:{jpath}",
         ok=_forall(jpath, pred),
         message=F.format_string(
-            f"Term %s not found in ontologies {', '.join(ontologies)}"
+            "Term %s not found in ontologies "
+            + _pct(", ".join(ontologies))
             + (
-                f" under ancestors {', '.join(required_ancestors)}"
+                " under ancestors " + _pct(", ".join(required_ancestors))
                 if required_ancestors
                 else ""
             ),
@@ -868,17 +922,9 @@ def term_check(
     (``FILTER strends(str(?iri), value)``), ``label`` (value == rdfs:label).
     """
     check_id = f"format:term:{jpath}"
-    flagged_terms = terms.where(F.col("ontology").isin(ontologies))
-    if required_ancestors:
-        if ancestors is None:
-            raise ValueError("ancestors dimension required when 'ancestors' attr set")
-        anc_ok = (
-            ancestors.where(F.col("ontology").isin(ontologies))
-            .where(F.col("ancestor_iri").isin(required_ancestors))
-            .select("iri")
-            .distinct()
-        )
-        flagged_terms = flagged_terms.join(anc_ok, "iri", "left_semi")
+    flagged_terms = _filtered_terms(
+        ontologies, terms, ancestors, required_ancestors
+    )
 
     def apply(df: DataFrame, flag: str) -> DataFrame:
         vals = _vals(jpath)
@@ -919,8 +965,9 @@ def term_check(
         ).withColumn(flag, F.coalesce(F.col(flag), F.lit(True)))
 
     msg = F.format_string(
-        f"Term %s not found in ontologies {', '.join(ontologies)}"
-        + (f" under ancestors {', '.join(required_ancestors)}" if required_ancestors else ""),
+        "Term %s not found in ontologies " + _pct(", ".join(ontologies))
+        + (" under ancestors " + _pct(", ".join(required_ancestors))
+           if required_ancestors else ""),
         F.try_element_at(_vals(jpath), F.lit(1)),
     )
     return JoinCheck(check_id=check_id, apply=apply, message=msg)

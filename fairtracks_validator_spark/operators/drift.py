@@ -58,19 +58,20 @@ def ks_2samp_exact(
                 "(the sketch path) or raise/disable max_distinct"
             )
 
+    # the bounded per-value relation feeds BOTH the cumulative window and
+    # the totals — localCheckpoint so the corpus scan + groupBy run once,
+    # not once per consumer (code-review r4; same pattern as chi_square)
     per_value = s.groupBy("v").agg(
         F.sum("in_a").alias("ca"),
         F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
-    )
+    ).localCheckpoint()
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = per_value.select(
         "v",
         F.sum("ca").over(w).alias("cum_a"),
         F.sum("cb").over(w).alias("cum_b"),
     )
-    totals = s.agg(
-        F.sum("in_a").alias("n_a"), F.sum(F.lit(1) - F.col("in_a")).alias("n_b")
-    )
+    totals = per_value.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
     return cum.crossJoin(F.broadcast(totals)).agg(
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
@@ -147,6 +148,8 @@ def ks_2samp_quantile(
             F.lit(None).cast("double").alias("ks_stat"),
         )
 
+    # ≤ B+1 rows feeding two consumers (window + totals): localCheckpoint
+    # so the O(N) bucket scan runs once (code-review r4)
     counts = (
         s.select(_count_lt(cuts, F.col("v")).alias("b"), "is_a")
         .groupBy("b")
@@ -154,6 +157,7 @@ def ks_2samp_quantile(
             F.sum(F.col("is_a").cast("long")).alias("ca"),
             F.sum((~F.col("is_a")).cast("long")).alias("cb"),
         )
+        .localCheckpoint()
     )
     # the window relation is ≤ B+1 rows — bounded by the bucket count, not N
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -190,6 +194,10 @@ def ks_per_group_pandas(
 
     def ks(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf[group_col].iloc[0]
+        # rows with a null split belong to NO half — drop them up front;
+        # a None inside sorted() would TypeError the whole stage
+        # (code-review r4)
+        pdf = pdf[pdf[split_col].notna()]
         halves = pdf[split_col].unique()
         if len(halves) < 2:
             return pd.DataFrame(

@@ -98,7 +98,9 @@ def pack_sequences(
         .select(
             F.col(id_col),
             F.col("_b").cast("int").alias("bucket"),
-            F.floor(F.col("_start") / seq_len).alias("seq_id"),
+            # integer DIV, not float floor: double division loses
+            # exactness once cumulative tokens near 2^53 (code-review r4)
+            F.expr(f"_start DIV {int(seq_len)}").alias("seq_id"),
             F.pmod(F.col("_start"), F.lit(seq_len)).cast("int").alias("seq_offset"),
             F.col(n_tokens_col).alias("n_tokens"),
         )

@@ -17,6 +17,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _src_col(df: DataFrame, name: str):
+    """Column reference robust to special characters: an exact top-level
+    column gets backtick-quoted (names with dots/dashes/spaces otherwise
+    parse as field access or break the stack() SQL — code-review r4);
+    anything else passes through F.col for nested-field access."""
+    if name in df.columns:
+        return F.col("`" + name.replace("`", "``") + "`")
+    return F.col(name)
+
+
 def column_profile(
     df: DataFrame,
     columns: list[str],
@@ -31,26 +41,29 @@ def column_profile(
     min/max are cast to string so heterogeneous column types stack into one
     result relation.
     """
+    # positional internal aliases: raw column names spliced into aliases and
+    # the stack() SQL break on dots/quotes/dashes (code-review r4)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in columns:
-        col = F.col(c)
+    for i, c in enumerate(columns):
+        col = _src_col(df, c)
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
-            F.min(col).cast("string").alias(f"{c}__min"),
-            F.max(col).cast("string").alias(f"{c}__max"),
+            F.sum(col.isNull().cast("long")).alias(f"_c{i}__nulls"),
+            F.min(col).cast("string").alias(f"_c{i}__min"),
+            F.max(col).cast("string").alias(f"_c{i}__max"),
             (
                 F.countDistinct(col) if exact_distinct
                 else F.approx_count_distinct(col, hll_rsd)
-            ).alias(f"{c}__nd"),
+            ).alias(f"_c{i}__nd"),
         ]
     wide = df.agg(*aggs)
 
     # unpivot the single wide row into one row per column — stack() keeps it
     # a pure projection (no second scan)
     parts = []
-    for c in columns:
+    for i, c in enumerate(columns):
+        lit_name = c.replace("\\", "\\\\").replace("'", "\\'")
         parts.append(
-            f"'{c}', {c}__nulls, {c}__min, {c}__max, {c}__nd"
+            f"'{lit_name}', _c{i}__nulls, _c{i}__min, _c{i}__max, _c{i}__nd"
         )
     stacked = wide.select(
         F.col("n_rows"),
@@ -84,25 +97,26 @@ def quantile_profile(
     """
     eps = 2.0 / accuracy
     aggs = []
-    for c in columns:
-        col = F.col(c).cast("double")
+    for j, c in enumerate(columns):
+        col = _src_col(df, c).cast("double")
         lo_hi = []
         for q in qs:
             lo_hi += [max(q - eps, 0.0), min(q + eps, 1.0)]
         aggs += [
-            F.percentile(col, [float(q) for q in qs]).alias(f"{c}__ex"),
-            F.percentile(col, lo_hi).alias(f"{c}__band"),
+            F.percentile(col, [float(q) for q in qs]).alias(f"_c{j}__ex"),
+            F.percentile(col, lo_hi).alias(f"_c{j}__band"),
             F.percentile_approx(col, [float(q) for q in qs], accuracy).alias(
-                f"{c}__ap"
+                f"_c{j}__ap"
             ),
         ]
     wide = df.agg(*aggs)
     parts = []
-    for c in columns:
+    for j, c in enumerate(columns):
+        lit_name = c.replace("\\", "\\\\").replace("'", "\\'")
         for i, q in enumerate(qs):
             parts.append(
-                f"'{c}', CAST({q} AS DOUBLE), {c}__ex[{i}], "
-                f"{c}__band[{2 * i}], {c}__band[{2 * i + 1}], {c}__ap[{i}]"
+                f"'{lit_name}', CAST({q} AS DOUBLE), _c{j}__ex[{i}], "
+                f"_c{j}__band[{2 * i}], _c{j}__band[{2 * i + 1}], _c{j}__ap[{i}]"
             )
     stacked = wide.select(
         F.expr(

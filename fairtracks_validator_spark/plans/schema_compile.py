@@ -614,25 +614,37 @@ def _element_pred(sub: dict):
         if t in ("number", "integer", "boolean"):
             cast_t = {"number": "double", "integer": "long", "boolean": "boolean"}[t]
             ok = ok & v.try_cast(cast_t).isNotNull()
+        # try_cast (not cast) under default ANSI mode: a non-numeric element
+        # at a numeric keyword must become a failed predicate, not a
+        # CAST_INVALID_INPUT job crash — and multipleOf uses exact decimal
+        # arithmetic (pmod(0.3D, 0.1D)=0.0999… false-fails) — the same
+        # hardening checks.py got in r3 (code-review r4)
         if "minimum" in sub:
-            ok = ok & (v.cast("double") >= float(sub["minimum"]))
+            ok = ok & (v.try_cast("double") >= float(sub["minimum"]))
         if "maximum" in sub:
-            ok = ok & (v.cast("double") <= float(sub["maximum"]))
+            ok = ok & (v.try_cast("double") <= float(sub["maximum"]))
         if "minLength" in sub:
             ok = ok & (F.length(v) >= int(sub["minLength"]))
         if "maxLength" in sub:
             ok = ok & (F.length(v) <= int(sub["maxLength"]))
         if "multipleOf" in sub:
-            ok = ok & (F.pmod(v.cast("double"), F.lit(float(sub["multipleOf"]))) == 0.0)
+            k = sub["multipleOf"]
+            ok = ok & (
+                F.pmod(
+                    v.try_cast("decimal(38,12)"),
+                    F.lit(k).cast("decimal(38,12)"),
+                )
+                == 0
+            )
         return ok
 
     return pred
 
 
-def _json_scalar_str_compile(value) -> str:
-    if isinstance(value, bool):
-        return "true" if value else "false"
-    return str(value)
+# single source of truth for stringly-typed scalar comparison — a drifting
+# copy here would silently disagree with const_check/enum_check
+# (code-review r4)
+_json_scalar_str_compile = C._json_scalar_str
 
 
 def _compile_property(
@@ -694,25 +706,51 @@ def _compile_property(
         except ValueError as e:
             _warn(plan, str(e))
 
-    # combinators: each branch folds to one predicate over the same path
+    # combinators: each branch folds to one predicate over the same path.
+    # At FAN-OUT paths anyOf/oneOf must apply PER ELEMENT (draft-07
+    # validates each instance; folding branches with forall over the whole
+    # value set false-fails heterogeneous arrays — code-review r4). allOf
+    # distributes over forall, so the whole-value fold stays correct.
+    fan_out = "[]" in path
     for kw, builder in (
         ("anyOf", C.any_of_check),
         ("oneOf", C.one_of_check),
         ("allOf", C.all_of_check),
     ):
         subs = sub.get(kw)
-        if isinstance(subs, list) and subs:
-            # boolean subschemas are valid draft-06+ schemas: true ⇒ always
-            # matches, false ⇒ never matches (ADVICE r2 — silently dropping
-            # them inverted oneOf counts)
-            preds = [
-                F.lit(s) if isinstance(s, bool)
-                else _subschema_pred(plan, path, s, dims, root, depth + 1)
-                for s in subs
-                if isinstance(s, (bool, dict))
-            ]
-            if preds:
-                plan.checks.append(builder(path, preds))
+        if not (isinstance(subs, list) and subs):
+            continue
+        if fan_out and kw in ("anyOf", "oneOf"):
+            elem_preds = []
+            for br in subs:
+                if isinstance(br, bool):
+                    elem_preds.append((lambda b: lambda v: F.lit(b))(br))
+                elif isinstance(br, dict):
+                    ep = _element_pred(_deref(plan, root, br))
+                    if ep is None:
+                        elem_preds = None
+                        break
+                    elem_preds.append(ep)
+            if elem_preds is None:
+                _warn(plan, f"{kw} at fan-out path {path} uses keywords "
+                            "beyond the scalar set — not enforced")
+                continue
+            if elem_preds:
+                plan.checks.append(
+                    C.elementwise_combinator_check(kw, path, elem_preds)
+                )
+            continue
+        # boolean subschemas are valid draft-06+ schemas: true ⇒ always
+        # matches, false ⇒ never matches (ADVICE r2 — silently dropping
+        # them inverted oneOf counts)
+        preds = [
+            F.lit(s) if isinstance(s, bool)
+            else _subschema_pred(plan, path, s, dims, root, depth + 1)
+            for s in subs
+            if isinstance(s, (bool, dict))
+        ]
+        if preds:
+            plan.checks.append(builder(path, preds))
     nt = sub.get("not")
     if isinstance(nt, bool):
         plan.checks.append(C.not_check(path, F.lit(nt)))
@@ -829,11 +867,20 @@ def _compile_property(
         for mid, ns in (dims.namespace_ids or {}).items():
             if ns in dims.namespaces:
                 registry.setdefault(mid, dims.namespaces[ns])
+        # a MIR-id DECLARATION must also translate to the prefix the
+        # extracted scheme actually carries — 'pubmed:123' extracts prefix
+        # 'pubmed', never 'MIR:00000008', so basic/canonical ns membership
+        # (and loose auto-promotion) would reject every prefixed value
+        # (code-review r4)
+        declared = [
+            (dims.namespace_ids or {}).get(ns, ns)
+            for ns in _as_list(sub.get("namespace", []))
+        ]
         plan.checks.append(
             C.curie_check(
                 path,
                 match_type=sub.get("matchType", "loose"),
-                namespaces=_as_list(sub.get("namespace", [])),
+                namespaces=declared,
                 registry=registry,
             )
         )

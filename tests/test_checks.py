@@ -10,6 +10,7 @@ from __future__ import annotations
 import warnings
 
 import pytest
+from pyspark.sql import functions as F
 
 from fairtracks_validator_spark.operators import checks as C
 from fairtracks_validator_spark.plans.schema_compile import Dims, compile_schema
@@ -506,3 +507,89 @@ def test_malformed_unique_warns(spark):
         })
     assert plan.uniques == []
     assert len(w) == 2
+
+
+def test_curie_mir_id_declaration_with_prefixed_values(spark, dims):
+    """code-review r4: a MIR-id namespace declaration must accept PREFIXED
+    values in canonical mode — the extracted prefix is 'orcid', never the
+    MIR id itself."""
+    from dataclasses import replace
+
+    from fairtracks_validator_spark.sources.dims import namespace_mir_ids
+
+    mir_dims = replace(dims, namespace_ids=namespace_mir_ids())
+    plan = compile_schema(
+        {"$id": "mir/3", "properties": {"v": {
+            "format": "curie", "matchType": "canonical",
+            "namespace": "MIR:00000000"}}}, mir_dims)
+    rows = [("ok", 1, "orcid:0000-0002-9103-1077"),
+            ("bad_ns", 2, "pubmed:123"),
+            ("bad_val", 3, "orcid:nope")]
+    res = validate_corpus({"mir/3": (plan, spark.createDataFrame(
+        rows, "source STRING, ord INT, v STRING"))})
+    v = {r["source"]: r["validated"] for r in res.verdicts.collect()}
+    assert v == {"ok": True, "bad_ns": False, "bad_val": False}
+
+
+def test_combinators_at_fanout_paths_apply_per_element(spark):
+    """code-review r4: anyOf/oneOf at a[].x validate EACH element against
+    the combinator — a heterogeneous array where every element matches some
+    branch is valid (the old whole-array branch fold false-failed it)."""
+    df = spark.createDataFrame(
+        [(1, [("1",), ("abc",)]), (2, [("!!",), ("3",)]), (3, None), (4, [])],
+        "ord long, a array<struct<x:string>>",
+    ).withColumn("source", F.col("ord").cast("string"))
+    p = compile_schema({"$id": "fo/1", "properties": {"a": {"items": {
+        "properties": {"x": {"anyOf": [{"type": "integer"},
+                                       {"pattern": "^[a-z]+$"}]}}}}}})
+    ok = C.checks_pass_predicate(p.checks)
+    got = {r["ord"]: r["ok"] for r in df.select("ord", ok.alias("ok")).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: True}
+
+    # oneOf: an element matching BOTH branches fails exactly-one
+    p2 = compile_schema({"$id": "fo/2", "properties": {"a": {"items": {
+        "properties": {"x": {"oneOf": [{"pattern": "^[0-9]+$"},
+                                       {"pattern": "^1"}]}}}}}})
+    ok2 = C.checks_pass_predicate(p2.checks)
+    df2 = spark.createDataFrame(
+        [(1, [("23",)]), (2, [("1",)])], "ord long, a array<struct<x:string>>")
+    got2 = {r["ord"]: r["ok"] for r in df2.select("ord", ok2.alias("ok")).collect()}
+    assert got2 == {1: True, 2: False}
+
+    # non-scalar branches at fan-out warn instead of mis-checking
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        compile_schema({"$id": "fo/3", "properties": {"a": {"items": {
+            "properties": {"x": {"anyOf": [{"required": ["y"]}]}}}}}})
+    assert any("beyond the scalar set" in str(x.message) for x in w)
+
+
+def test_element_pred_ansi_and_decimal(spark):
+    """code-review r4: contains/items element predicates use try_cast (no
+    ANSI crash on non-numeric) and exact decimal multipleOf."""
+    df = spark.createDataFrame(
+        [(1, ["abc", "7"]), (2, ["9"]), (3, ["0.3"])],
+        "ord long, a array<string>",
+    )
+    p1 = compile_schema({"$id": "ep/1", "properties": {"a": {"contains": {"minimum": 8}}}})
+    ok = C.checks_pass_predicate(p1.checks)
+    got = {r["ord"]: r["ok"] for r in df.select("ord", ok.alias("ok")).collect()}
+    assert got == {1: False, 2: True, 3: False}
+    p2 = compile_schema({"$id": "ep/2", "properties": {"a": {"contains": {"multipleOf": 0.1}}}})
+    ok2 = C.checks_pass_predicate(p2.checks)
+    got2 = {r["ord"]: r["ok"] for r in df.select("ord", ok2.alias("ok")).collect()}
+    assert got2 == {1: True, 2: True, 3: True}
+
+
+def test_percent_in_schema_values_does_not_crash_messages(spark):
+    """code-review r4: '%' in patterns/const/enum/namespaces must render in
+    violation messages, not throw UnknownFormatConversionException."""
+    p = compile_schema({"$id": "pct/1", "properties": {
+        "s": {"pattern": "^%[0-9A-F]{2}", "enum": ["%4A", "%FF"],
+              "const": "%4A"}}})
+    df = spark.createDataFrame(
+        [("a", 1, "%4A"), ("b", 2, "nope")],
+        "source string, ord long, s string")
+    res = validate_corpus({"pct/1": (p, df)})
+    descs = [r["description"] for r in res.violations.collect()]
+    assert descs and all("%" in d for d in descs)
