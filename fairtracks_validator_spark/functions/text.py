@@ -53,28 +53,51 @@ def stopword_hits(col, lang: str) -> Column:
 def quality_score(col) -> Column:
     """Heuristic [0,1] quality score: penalizes very short docs, high
     punctuation density, and low alpha-token ratio. Deterministic and
-    SQL-expressible (weights are part of the contract)."""
+    SQL-expressible (weights are part of the contract).
+
+    The token array is let_-bound ONCE and shared by the length score, the
+    alpha filter, and both ratio denominators — the unbound form
+    re-tokenized ~4x per row via CollapseProject (code-review r4)."""
+    from .expr import let_
+
     c = F.col(col) if isinstance(col, str) else col
     c = F.coalesce(c, F.lit(""))
-    n_tok = token_count(c)
     n_char = F.length(c)
     n_punct = F.regexp_count(c, F.lit(PUNCT_RE))
     punct_ratio = F.when(n_char > 0, n_punct / n_char).otherwise(F.lit(1.0))
-    alpha_tokens = F.size(F.filter(tokens(c), lambda t: t.rlike("^[A-Za-z]+$")))
-    alpha_ratio = F.when(n_tok > 0, alpha_tokens / n_tok).otherwise(F.lit(0.0))
-    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
-    score = (
-        F.lit(0.4) * len_score
-        + F.lit(0.4) * alpha_ratio
-        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
-    )
-    return F.round(score, 6)
+
+    def _score(toks):
+        n_tok = F.size(toks)
+        alpha_tokens = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+        alpha_ratio = F.when(n_tok > 0, alpha_tokens / n_tok).otherwise(F.lit(0.0))
+        len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+        return (
+            F.lit(0.4) * len_score
+            + F.lit(0.4) * alpha_ratio
+            + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+        )
+
+    return F.round(let_(tokens(c), _score), 6)
 
 
-def langid_scores(col) -> list[tuple[str, Column]]:
-    """(lang, stopword-hit-rate) per profiled language."""
-    n = F.greatest(token_count(col), F.lit(1))
-    return [(lang, stopword_hits(col, lang) / n) for lang in STOPWORDS]
+def langid_scores(col) -> Column:
+    """struct of per-language stopword-hit rates, all computed from ONE
+    let_-bound tokenization (r4 — the old list-of-Columns form re-tokenized
+    per language and duplicated the shared denominator per projection).
+    Select fields as ``langid_scores(c)["en"]`` etc."""
+    from .expr import let_
+
+    def rates(toks):
+        n = F.greatest(F.size(toks), F.lit(1))
+
+        def hit_rate(sw):
+            return F.size(F.filter(toks, lambda t: F.lower(t).isin(sw))) / n
+
+        return F.struct(
+            *[hit_rate(STOPWORDS[lang]).alias(lang) for lang in STOPWORDS]
+        )
+
+    return let_(tokens(col), rates)
 
 
 def langid(col) -> Column:

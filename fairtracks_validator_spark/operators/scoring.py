@@ -19,6 +19,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
+# above this many vocabulary entries the folded map literal stops being the
+# scale path: GetMapValue on a map literal is a LINEAR key scan per token
+# (no hash index — code-review r4), so large top-K vocabularies go through
+# a broadcast hash join instead.
+UNIGRAM_FOLD_MAX = 1024
+
 
 def unigram_logprob(
     df: DataFrame,
@@ -40,11 +46,16 @@ def unigram_logprob(
       the full vocabulary and re-aggregates per doc — two shuffles OF THE
       TOKEN STREAM. Right for oracle parity and moderate corpora; at
       10^12 docs the token stream is ~10^15 rows and both shuffles hurt.
-    - ``max_vocab=K`` (the scale path): the top-K vocabulary (count desc,
-      token asc — deterministic) folds into a ``map_from_arrays`` literal
-      and each doc scores ITSELF with one ``aggregate`` over its token
-      array — zero shuffle, zero Python, same fold philosophy as the
-      ontology term checks. Out-of-vocabulary tokens take ``oov_logprob``
+    - ``max_vocab=K ≤ UNIGRAM_FOLD_MAX``: the top-K vocabulary (count
+      desc, token asc — deterministic) folds into a ``map_from_arrays``
+      literal and each doc scores ITSELF with one ``aggregate`` over its
+      token array — zero shuffle, zero Python. The cap matters: a map
+      LITERAL lookup is a linear key scan per token, so folding is only
+      the fast path while K is small (code-review r4).
+    - ``max_vocab=K > UNIGRAM_FOLD_MAX``: top-K vocabulary broadcast
+      hash-joined against the exploded token stream, re-aggregated per
+      doc — one shuffle of the token stream, O(1) lookups.
+      Out-of-vocabulary tokens take ``oov_logprob`` in both shapes
       (default: uniform mass ln(1/total)). Identical to exact when
       K ≥ |vocab|.
     """
@@ -52,9 +63,37 @@ def unigram_logprob(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # lazy localCheckpoint: the total-sum action below materializes the
+    # vocabulary ONCE; the top-K collect / scoring join then read the
+    # materialized counts instead of re-tokenizing and re-shuffling the
+    # whole corpus per consumer (code-review r4). Storage is reclaimed by
+    # the ContextCleaner when the relation goes out of scope.
+    vocab = (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = vocab.agg(F.sum("cnt").alias("t")).collect()[0]["t"] or 0
     totf = float(max(total, 1))
+
+    if max_vocab is not None and max_vocab > UNIGRAM_FOLD_MAX:
+        import math
+
+        oov = float(oov_logprob if oov_logprob is not None else math.log(1.0 / totf))
+        top = vocab.orderBy(F.desc("cnt"), F.asc("token")).limit(max_vocab)
+        top = top.select(
+            "token", F.round(F.log(F.col("cnt") / F.lit(totf)), 10).alias("_lp")
+        )
+        scored = toks.join(F.broadcast(top), "token", "left")
+        return (
+            scored.groupBy("id")
+            .agg(
+                F.round(
+                    F.avg(F.coalesce(F.col("_lp"), F.lit(oov))), round_digits
+                ).alias("logprob"),
+                F.count(F.lit(1)).alias("n_tokens"),
+            )
+            .select(F.col("id").alias(id_col), "logprob", "n_tokens")
+        )
 
     if max_vocab is not None:
         import math

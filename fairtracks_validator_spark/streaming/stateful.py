@@ -49,7 +49,14 @@ def _make_first_seen_fn(ttl_ms: int | None):
                     seen.add(h)
                     ids.append(int(id_))
                     hashes.append(h)
-        state.update((sorted(seen),))
+        if ids or not state.exists:
+            # only rewrite state when the digest set actually changed — a
+            # hot bucket receiving exclusively already-seen content would
+            # otherwise re-sort and re-serialize its ENTIRE digest array
+            # into the state store every trigger (write amplification
+            # proportional to state size, not delta — code-review r4).
+            # setTimeoutDuration below still refreshes the TTL either way.
+            state.update((sorted(seen),))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),

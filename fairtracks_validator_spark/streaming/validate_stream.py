@@ -107,52 +107,72 @@ def process_batch(
             )
         )
         registry = _load_registry(spark, out_dir, batch_id).cache()
+        batch_caches: list = []
         for uq in plan.uniques:
             keys = _doc_keys(survivors, uq.check_id, uq.members, source_col, ord_col)
             reg = registry.where(F.col("check_id") == uq.check_id)
+            reg_sel = reg.select("key_str", F.col("first_source").alias("_reg_fs"))
 
-            # intra-batch first-writer resolution
-            from pyspark.sql import Window
+            from ..functions.keys import has_array_fanout
 
-            w = Window.partitionBy("key_str").orderBy("ord", "source")
-            ranked = keys.withColumn("_rn", F.row_number().over(w)).withColumn(
-                "_fs", F.first("source").over(w)
-            )
-            intra_dup = ranked.where(F.col("_rn") > 1).select(
-                "source", "ord", "key_str", F.col("_fs").alias("first_source")
-            )
-            firsts = ranked.where(F.col("_rn") == 1).drop("_rn", "_fs")
-            # cross-batch probe against the accumulated registry
-            cross = firsts.join(
-                reg.select("key_str", F.col("first_source").alias("_reg_fs")),
-                "key_str",
-                "left",
-            )
-            cross_dup = cross.where(F.col("_reg_fs").isNotNull()).select(
-                "source", "ord", "key_str", F.col("_reg_fs").alias("first_source")
-            )
-            # first-writer-wins: a COLLIDING doc records NONE of its keys
-            # (ValidatedJSONSchema.java:386-391, same rule as the batch
-            # path) — without this anti-join a multi-key doc that lost on
-            # one key still registered its other keys, falsely blaming
-            # later docs (code-review r3). Keys freed this way are not
-            # re-assigned to later same-batch docs (no promotion cascade —
-            # conservative: under-records, never over-blames).
-            colliding = (
-                intra_dup.select("source", "ord")
-                .unionByName(cross_dup.select("source", "ord"))
-                .distinct()
-            )
-            fresh = (
-                cross.where(F.col("_reg_fs").isNull())
-                .join(colliding, ["source", "ord"], "left_anti")
-                .select(
+            if has_array_fanout(uq.members):
+                # multi-valued keys take the SAME promotion cascade as the
+                # batch path (code-review r4 — the old no-cascade shortcut
+                # over-blamed docs the reference promotes): docs colliding
+                # against the frozen registry are removed first (their
+                # unclaimed keys free up, exactly like the reference's
+                # record-nothing rule), then the in-batch fixpoint resolves
+                # the remainder.
+                from ..operators.uniqueness import _resolve_cascade
+
+                reg_hits = keys.join(reg_sel, "key_str", "inner")
+                cross_dup = reg_hits.select(
+                    "source", "ord", "key_str",
+                    F.col("_reg_fs").alias("first_source"),
+                )
+                remaining = keys.join(
+                    reg_hits.select("source", "ord").distinct(),
+                    ["source", "ord"], "left_anti",
+                )
+                intra_dup, recorded, cached = _resolve_cascade(remaining, 6)
+                batch_caches.extend(cached)
+                fresh = recorded.select(
+                    F.lit(uq.check_id).alias("check_id"),
+                    "key_str",
+                    F.col("source").alias("first_source"),
+                    F.col("ord").cast("long").alias("first_ord"),
+                )
+            else:
+                # single-key path: one window + ONE registry join shared by
+                # blame and freshness. Rank-2+ docs whose key already has a
+                # registry holder are blamed on THAT holder, not on the
+                # in-batch rank-1 row (which held nothing — code-review r4).
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("key_str").orderBy("ord", "source")
+                ranked = (
+                    keys.withColumn("_rn", F.row_number().over(w))
+                    .withColumn("_fs", F.first("source").over(w))
+                    .join(reg_sel, "key_str", "left")
+                )
+                intra_dup = ranked.where(F.col("_rn") > 1).select(
+                    "source", "ord", "key_str",
+                    F.coalesce(F.col("_reg_fs"), F.col("_fs")).alias("first_source"),
+                )
+                cross_dup = ranked.where(
+                    (F.col("_rn") == 1) & F.col("_reg_fs").isNotNull()
+                ).select(
+                    "source", "ord", "key_str",
+                    F.col("_reg_fs").alias("first_source"),
+                )
+                fresh = ranked.where(
+                    (F.col("_rn") == 1) & F.col("_reg_fs").isNull()
+                ).select(
                     F.lit(uq.check_id).alias("check_id"),
                     "key_str",
                     F.col("source").alias("first_source"),
                     F.col("ord").alias("first_ord"),
                 )
-            )
             dup = intra_dup.unionByName(cross_dup).select(
                 "source",
                 "ord",
@@ -186,6 +206,11 @@ def process_batch(
         # accumulates in executor storage for the stream's lifetime
         if registry is not None:
             registry.unpersist()
+        for c in locals().get("batch_caches", []) or []:
+            try:
+                c.unpersist()
+            except Exception:
+                pass
 
 
 def validate_stream(

@@ -318,14 +318,19 @@ def test_cascade_uniqueness_caches_released(spark):
         "source string, ord long, ks array<string>",
     )
     plan = compile_schema({
-        "$id": "casc/1", "primary_key": ["ks"],
+        "$id": "casc/1", "primary_key": ["ks[]"],  # [] = array fan-out keys
         "properties": {"ks": {"items": {"type": "string"}}},
         # FK forces the generic (non-fused) path where the cascade runs
         "foreign_keys": [{"schema_id": "casc/1", "members": []}],
     })
+    from fairtracks_validator_spark.functions.keys import has_array_fanout
+
+    assert has_array_fanout(plan.uniques[0].members)  # cascade path engaged
     res = validate_corpus({"casc/1": (plan, df)})
     res.violations.count()
-    assert len(res._persisted) >= 2  # cascade keys + final colliding set
+    # cascade keys + final colliding set ride the release list (plus the
+    # generic path's own persists)
+    assert len(res._persisted) >= 3
     res.release()
 
 

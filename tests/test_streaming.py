@@ -253,3 +253,47 @@ def test_quality_gate_runs_in_stream(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("select * from quality_stream").collect()}
     exp = {tuple(r) for r in xform(spark.read.parquet(src)).collect()}
     assert got == exp and len(got) == 200
+
+
+def test_stream_rank2_blamed_on_registry_holder(spark, tmp_path, PLAN):
+    """code-review r4: when a key already has a registry holder, EVERY
+    in-batch occurrence is blamed on that holder — not rank-2 rows on the
+    in-batch rank-1 row (which held nothing)."""
+    out = str(tmp_path / "blame_out")
+    process_batch(spark.createDataFrame([("s0", 1, "k", 5)], DDL), 0, PLAN, out)
+    process_batch(
+        spark.createDataFrame([("s1", 10, "k", 5), ("s2", 11, "k", 5)], DDL),
+        1, PLAN, out,
+    )
+    viol = spark.read.parquet(f"{out}/violations")
+    descs = {r["source"]: r["description"] for r in viol.collect()}
+    assert descs == {
+        "s1": "Duplicate PK in s0 and s1",
+        "s2": "Duplicate PK in s0 and s2",
+    }
+
+
+def test_stream_fanout_promotion_cascade(spark, tmp_path):
+    """code-review r4: multi-valued keys run the batch promotion cascade —
+    a doc colliding on one key records nothing, so a later doc claims its
+    other key without blame (the old shortcut over-blamed it)."""
+    plan = compile_schema({
+        "$id": "streamf/1.0", "primary_key": ["ks[]"],
+        "properties": {"ks": {"items": {"type": "string"}}},
+    })
+    ddl = "source STRING, ord INT, ks ARRAY<STRING>"
+    out = str(tmp_path / "fan_out")
+    process_batch(
+        spark.createDataFrame([("s0", 1, ["k2"])], ddl), 0, plan, out)
+    # batch 1: A(ord 10) has [k1, k2] — k2 collides vs registry, so A
+    # records NOTHING; B(ord 11) has [k1] and must claim k1 violation-free
+    process_batch(
+        spark.createDataFrame([("A", 10, ["k1", "k2"]), ("B", 11, ["k1"])],
+                              ddl), 1, plan, out)
+    viol = spark.read.parquet(f"{out}/violations")
+    got = {(r["source"], r["key_str"], r["description"]) for r in viol.collect()}
+    assert got == {("A", "[\"k2\"]", "Duplicate PK in s0 and A")}
+    reg = spark.read.parquet(f"{out}/registry")
+    claimed = {(r["key_str"], r["first_source"]) for r in reg.collect()}
+    assert ("[\"k1\"]", "B") in claimed
+    assert not any(fs == "A" for _, fs in claimed)
