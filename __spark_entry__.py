@@ -118,6 +118,9 @@ SELECT s2.source, 'pk' AS check_id FROM (
          row_number() OVER (PARTITION BY doc_id ORDER BY doc_id) rn
   FROM documents WHERE text IS NOT NULL
         AND (lang IS NULL OR lang IN ('en','de','es','fr'))
+        -- a doc failing ANY check records no key (code-review r4: the
+        -- runner gates the key on the all-checks predicate, n_chars incl.)
+        AND (n_chars IS NULL OR (n_chars >= 1 AND n_chars <= 100000))
 ) s2 WHERE rn > 1
 ORDER BY source, check_id
 """
@@ -1210,7 +1213,7 @@ SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
 FROM inter
 JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 WHERE sa.sz * 0.5 <= sb.sz AND sb.sz * 0.5 <= sa.sz
-  AND inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+  AND ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.5
 ORDER BY id_a, id_b
 """
 
@@ -1233,7 +1236,7 @@ scored AS (
   FROM embeddings e, q WHERE e.vec_id <> 0
 )
 SELECT id::BIGINT AS id, ROUND(raw, 6) AS score
-FROM scored ORDER BY raw DESC, id ASC LIMIT 10
+FROM scored ORDER BY ROUND(raw, 6) DESC, id ASC LIMIT 10
 """
 
 
@@ -1283,8 +1286,8 @@ SELECT l.id::BIGINT AS id_a, r.id::BIGINT AS id_b,
        AS cosine
 FROM keyed l JOIN keyed r ON l.blk = r.blk
 WHERE l.id < r.id
-  AND list_sum([ l.vec[i+1]::DOUBLE * r.vec[i+1]::DOUBLE
-                 for i in range(0, len(l.vec)) ]) / (l.nrm * r.nrm) >= 0.999
+  AND ROUND(list_sum([ l.vec[i+1]::DOUBLE * r.vec[i+1]::DOUBLE
+                 for i in range(0, len(l.vec)) ]) / (l.nrm * r.nrm), 6) >= 0.999
 ORDER BY id_a, id_b
 """
 

@@ -128,8 +128,14 @@ def main():
     # Janino compilation of each query's generated classes (langid's alone
     # is ~6 s once per session).
     spark.range(100000).selectExpr("sum(id)").collect()
+    # warm-up at the smallest fixture when present, else the bench dir
+    # itself (a relocated SPARK_GRAFT_SF_DIR must not crash the warm-up —
+    # code-review r4)
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     for name in HEADLINE:
-        qs[name](spark, "/root/testdata/sf0.001").collect()
+        qs[name](spark, warm_dir).collect()
 
     # best-of-3 per query: a single sample on this shared host swings
     # ±30-90% with CPU steal (BENCH/bisect_r4.md — the r3 "regressions"

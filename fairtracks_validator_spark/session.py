@@ -21,13 +21,18 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so the
-    same entry points serve tests, bench and the scaling runs. On a real
-    cluster, pass ``master=None`` with ``spark.master`` set by spark-submit.
+    ``master`` resolution: explicit argument > ``SPARK_GRAFT_MASTER`` env >
+    the cluster manager's own ``spark.master`` (under spark-submit the
+    gateway JVM already carries it — detected via ``PYSPARK_GATEWAY_PORT``
+    — and the builder does NOT override it; code-review r4: forcing
+    ``local[N]`` here silently ran submitted jobs on the driver node) >
+    ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) for plain-python runs.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
-        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # local mode: one shuffle partition per core keeps all cores busy
         # without tiny-task overhead at test scale; a real cluster would size
@@ -36,7 +41,6 @@ def get_spark(
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -49,6 +53,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    if master is not None:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

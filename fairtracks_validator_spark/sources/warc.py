@@ -88,34 +88,56 @@ def _parse_warc_buffer(buf: bytes):
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            length = -1
+        if length < 0:
+            # missing, non-numeric, or negative (a negative slice would walk
+            # the parse position BACKWARDS into the header — code-review r4)
             yield start, None, "missing/invalid Content-Length"
             return
         body_start = hdr_end + sep
         block = buf[body_start : body_start + length]
         if len(block) < length:
-            yield start, headers, block  # truncated final record: best effort
+            # truncated final record: an error row, not a silent half-page
+            # passed downstream as complete (code-review r4)
+            yield start, None, (
+                f"truncated record: {len(block)} of {length} body bytes"
+            )
             return
         yield start, headers, block
         pos = body_start + length
 
 
 def _split_http(block: bytes):
-    """HTTP response payload → (status:int|None, body:bytes)."""
+    """HTTP response payload → (status, content_type, body). The header/
+    body boundary is the EARLIEST of \r\n\r\n and \n\n — search order
+    alone would split LF-terminated headers at a CRLF pair deep inside the
+    body (code-review r4)."""
     if not block.startswith(b"HTTP/"):
-        return None, block
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        i = block.find(sep)
-        if i != -1:
-            head, body = block[:i], block[i + len(sep):]
-            break
+        return None, None, block
+    crlf = block.find(b"\r\n\r\n")
+    lf = block.find(b"\n\n")
+    if crlf == -1 and lf == -1:
+        return None, None, block
+    if crlf != -1 and (lf == -1 or crlf < lf):
+        i, sep = crlf, 4
     else:
-        return None, block
+        i, sep = lf, 2
+    head, body = block[:i], block[i + sep:]
     parts = head.split(None, 2)
     try:
         status = int(parts[1])
     except (IndexError, ValueError):
         status = None
-    return status, body
+    # the PAGE's media type lives in the HTTP head — the WARC envelope
+    # Content-Type is the constant 'application/http; msgtype=response'
+    # (code-review r4)
+    ctype = None
+    for line in head.splitlines()[1:]:
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("utf-8", "replace")
+            break
+    return status, ctype, body
 
 
 def iter_warc_records(path: str, payload: bytes):
@@ -132,14 +154,14 @@ def iter_warc_records(path: str, payload: bytes):
             continue
         if headers.get("warc-type") != "response":
             continue  # request/metadata/warcinfo records carry no page
-        status, body = _split_http(block)
+        status, ctype, body = _split_http(block)
         yield {
             "warc_file": path,
             "record_offset": off,
             "url": headers.get("warc-target-uri"),
             "warc_ts": headers.get("warc-date"),
             "http_status": status,
-            "content_type": headers.get("content-type"),
+            "content_type": ctype,
             "html": body,
             "error": None,
         }
@@ -156,14 +178,18 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["warc_file", "record_offset", "url", "warc_ts",
                 "http_status", "content_type", "html", "error"]
+        empty = True
         for pdf in batches:
-            rows = []
+            # one yielded frame PER ARCHIVE: accumulating a whole Arrow
+            # batch of ~1 GB decompressed archives in one list would scale
+            # peak memory with the batch's file count (code-review r4)
             for p, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(iter_warc_records(p, bytes(content)))
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
-            else:
-                yield pd.DataFrame({c: [] for c in cols})
+                rows = list(iter_warc_records(p, bytes(content)))
+                if rows:
+                    empty = False
+                    yield pd.DataFrame(rows, columns=cols)
+        if empty:
+            yield pd.DataFrame({c: [] for c in cols})
 
     return files.mapInPandas(parse, WARC_SCHEMA)
 
@@ -176,7 +202,13 @@ def warc_to_pages(spark: SparkSession, path: str) -> DataFrame:
     from ..functions.text import langid
 
     recs = read_warc(spark, path).where(
-        F.col("error").isNull() & F.col("url").isNotNull()
+        F.col("error").isNull()
+        & F.col("url").isNotNull()
+        # only html-ish payloads reach extract_text — a crawl also carries
+        # images/PDFs whose bytes are not text (content_type now holds the
+        # HTTP media type; records without one pass through)
+        & (F.col("content_type").isNull()
+           | F.col("content_type").contains("html"))
     )
     return recs.select(
         "url",

@@ -119,3 +119,59 @@ def test_warc_to_pages_end_to_end(spark, tmp_path):
     res = validate_corpus({"pages/warc": (plan, df)})
     assert res.violations.count() == 0
     assert res.verdicts.count() == 2
+
+
+def test_warc_lf_headers_and_http_content_type():
+    """code-review r4: LF-terminated HTTP headers split at the EARLIEST
+    boundary even when the body contains CRLFCRLF, and content_type carries
+    the page's HTTP media type, not the WARC envelope constant."""
+    body = b"<html>line1\r\n\r\nline2</html>"  # CRLFCRLF inside the body
+    http = b"HTTP/1.1 200 OK\nContent-Type: text/html; charset=utf-8\n\n" + body
+    hdr = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://lf.example.com\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    rows = list(iter_warc_records("lf.warc", hdr + http + b"\r\n\r\n"))
+    assert len(rows) == 1
+    assert rows[0]["html"] == body
+    assert rows[0]["content_type"] == "text/html; charset=utf-8"
+    assert rows[0]["http_status"] == 200
+
+
+def test_warc_truncated_and_negative_length_are_errors():
+    good = make_record("https://ok.example.com", "2024-01-01T00:00:00Z", HTML1)
+    # truncated final record: cut the last record short
+    cut = good + make_record("https://cut.example.com",
+                             "2024-01-01T00:00:00Z", HTML1)[:-40]
+    rows = list(iter_warc_records("t.warc", cut))
+    assert rows[0]["url"] == "https://ok.example.com"
+    assert rows[-1]["error"] is not None and "truncated" in rows[-1]["error"]
+    # negative Content-Length: error row, parse does not walk backwards
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://n.example.com\r\n"
+           b"Content-Length: -5\r\n\r\nxxxx\r\n\r\n")
+    rows2 = list(iter_warc_records("n.warc", bad))
+    assert len(rows2) == 1 and "Content-Length" in rows2[0]["error"]
+
+
+def test_warc_to_pages_skips_non_html(spark, tmp_path):
+    """Non-html payloads (images) are excluded before extract_text."""
+    jpeg_http = (b"HTTP/1.1 200 OK\r\nContent-Type: image/jpeg\r\n\r\n"
+                 b"\xff\xd8fakejpegbytes")
+    hdr = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://img.example.com/x.jpg\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(jpeg_http)}\r\n\r\n"
+    ).encode()
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "m.warc").write_bytes(
+        make_record("https://a.example.com/1", "2024-01-01T00:00:00Z", HTML1)
+        + hdr + jpeg_http + b"\r\n\r\n"
+    )
+    urls = {r["url"] for r in warc_to_pages(spark, str(d)).collect()}
+    assert urls == {"https://a.example.com/1"}
