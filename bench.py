@@ -71,7 +71,7 @@ def _pages_throughput(spark) -> tuple[float, float]:
     from pyspark.sql import functions as F
 
     from fairtracks_validator_spark.plans.schema_compile import compile_schema
-    from fairtracks_validator_spark.runner import validate_corpus
+    from fairtracks_validator_spark.runner import validate_corpus, sink_observed
     from fairtracks_validator_spark.sources.pages import pages, pages_schema_dict
 
     df = (
@@ -86,7 +86,11 @@ def _pages_throughput(spark) -> tuple[float, float]:
     for _ in range(3):
         t0 = time.time()
         res = validate_corpus({"pages/1.0": (plan, df)})
-        n = res.verdicts.count()
+        # ONE observed write = verdicts + violation rows + all counts in a
+        # single Spark action (the BASELINE metric is pass/fail AND
+        # violation rows; the old probe materialized only verdicts)
+        m = sink_observed(res)
+        n = m["docs"]
         dt = time.time() - t0
         if best is None or dt < best:
             best = dt

@@ -40,6 +40,13 @@ VIOLATION_SCHEMA = (
     "key_str string, reason string, description string"
 )
 
+# per-document violation details nested inside the wide verdict relation
+# (source/ord/schema_id live on the row itself)
+_WIDE_VIOLATION_DDL = (
+    "array<struct<check_id:string,key_str:string,reason:string,"
+    "description:string>>"
+)
+
 # registries at or below this many distinct keys get an explicit broadcast
 # hint in FK probes (≈ a few hundred MB of key strings); larger ones rely on
 # AQE's runtime broadcast/sort-merge selection.
@@ -52,6 +59,10 @@ class ValidationResult:
     violations: DataFrame  # VIOLATION_SCHEMA
     pk_registries: dict[tuple[str, str], DataFrame] = field(default_factory=dict)
     _persisted: list = field(default_factory=list, repr=False)
+    # one-row-per-doc verdict+nested-violations relation when the plan shape
+    # allowed building it without extra shuffles (fused single-schema path);
+    # None on the general multi-schema path (wide_verdicts() joins instead)
+    wide: DataFrame | None = field(default=None, repr=False)
 
     def release(self) -> None:
         """Unpersist every relation this run cached. Call after the last
@@ -106,6 +117,101 @@ class ValidationResult:
             else:
                 out["violations"] = r["n"]
         return out
+
+    def wide_verdicts(self) -> DataFrame:
+        """ONE row per document: the verdict columns plus a nested array of
+        that document's violation rows — the single-output sink shape
+        (``sink_observed``). A 100 TB run materializes THIS relation once;
+        the flat violations view is a lazy ``explode`` over it.
+
+        The fused single-schema path builds it inside the existing
+        scan+shuffle for free (``self.wide``). The general multi-schema
+        path reconstructs it from the two flat relations: group the
+        (output-sized) violations by document identity, left-join onto the
+        verdicts — two extra output-sized shuffles, never a corpus rescan.
+        """
+        if self.wide is not None:
+            return self.wide
+        grouped = self.violations.groupBy(
+            F.col("source").alias("_vsrc"),
+            F.col("ord").alias("_vord"),
+            F.col("schema_id").alias("_vsid"),
+        ).agg(
+            F.collect_list(
+                F.struct("check_id", "key_str", "reason", "description")
+            ).alias("_viol")
+        )
+        v = self.verdicts
+        status = (
+            F.col("status")
+            if "status" in v.columns
+            else F.when(F.col("validated"), "ok").otherwise("failed")
+        )
+        return (
+            v.join(
+                grouped,
+                v["source"].eqNullSafe(grouped["_vsrc"])
+                & v["ord"].eqNullSafe(grouped["_vord"])
+                & (v["schema_id"] == grouped["_vsid"]),
+                "left",
+            )
+            .select(
+                v["source"], v["ord"], v["schema_id"], v["validated"],
+                status.alias("status"),
+                F.coalesce(
+                    F.col("_viol"), F.array().cast(_WIDE_VIOLATION_DDL)
+                ).alias("violations"),
+            )
+        )
+
+
+def sink_observed(
+    result: ValidationResult,
+    path: str | None = None,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Materialize verdicts AND violations in ONE Spark action, with the run
+    counts riding the same action as ``DataFrame.observe`` accumulators.
+
+    This is the production sink shape: a trillion-row run cannot afford one
+    Spark job per output (verdicts, violations, doc count, failed count,
+    violation count = 5 serial jobs whose fixed scheduling latency does not
+    shrink with cluster size — the measured N→4N scaling residue,
+    BENCH/BASELINE.md). One observed write = one job: counts cost zero extra
+    passes, and the flat violations view stays available as a lazy explode
+    over the written table.
+
+    ``path=None`` writes to the built-in ``noop`` format — full computation,
+    no sink I/O — which is what the scaling benchmark times (a single VM's
+    local disk would otherwise add a non-scaling write bottleneck that a real
+    per-node cluster disk does not have).
+    """
+    from pyspark.sql import Observation
+
+    wide = result.wide_verdicts()
+    obs = Observation()
+    observed = wide.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((~F.col("validated")).cast("long")).alias("failed_docs"),
+        F.sum((F.col("status") == F.lit("ignored")).cast("long")).alias(
+            "ignored_docs"
+        ),
+        F.sum(F.size("violations").cast("long")).alias("violations"),
+    )
+    writer = observed.write.mode("overwrite")
+    if path is None:
+        writer.format("noop").save()
+    else:
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.format(fmt).save(path)
+    m = obs.get
+    return {
+        k: int(m[k] or 0)
+        for k in ("docs", "failed_docs", "ignored_docs", "violations")
+    }
 
 
 def _null_ddl_for_steps(steps: list[tuple[str, str | None]]) -> str:
@@ -550,6 +656,22 @@ def _validate_fused(
     narrow = df.select(*cols)
     persisted: list = []
 
+    # nested violation entries for the wide (single-sink) relation — same
+    # rows the flat `violations` view explodes to, kept on the document row
+    _empty_viol = F.array().cast(_WIDE_VIOLATION_DDL)
+    schema_fail_entries = F.coalesce(
+        F.transform(
+            F.col("_fails"),
+            lambda e: F.struct(
+                e.getField("check_id").alias("check_id"),
+                F.lit(None).cast("string").alias("key_str"),
+                F.lit("schema").alias("reason"),
+                e.getField("message").alias("description"),
+            ),
+        ),
+        _empty_viol,
+    )
+
     if uq is None:
         if cache_narrow:
             narrow = narrow.persist(StorageLevel.DISK_ONLY)
@@ -560,8 +682,16 @@ def _validate_fused(
             F.when(F.col("_ok"), "ok").otherwise("failed").alias("status"),
         )
         violations = _explode_fails(narrow, schema_id)
+        wide = narrow.select(
+            "source", "ord", F.lit(schema_id).alias("schema_id"),
+            F.col("_ok").alias("validated"),
+            F.when(F.col("_ok"), "ok").otherwise("failed").alias("status"),
+            F.when(~F.col("_ok"), schema_fail_entries)
+            .otherwise(_empty_viol)
+            .alias("violations"),
+        )
         return ValidationResult(verdicts=verdicts, violations=violations,
-                                _persisted=persisted)
+                                _persisted=persisted, wide=wide)
 
     # null-proof surrogate (code-review r4): F.concat null-propagates, so a
     # null source collapsed every no-key null-source row into ONE null
@@ -605,6 +735,27 @@ def _validate_fused(
         ).alias("description"),
     )
     violations = _explode_fails(shuffled, schema_id).unionByName(dup_viol)
+    dup_entry = F.array(
+        F.struct(
+            F.lit(uq.check_id).alias("check_id"),
+            F.col("_key").alias("key_str"),
+            F.lit("dup_pk").alias("reason"),
+            F.format_string(
+                "Duplicate PK in %s and %s",
+                F.col("_first_source"), F.col("source"),
+            ).alias("description"),
+        )
+    )
+    wide = shuffled.select(
+        "source", "ord", F.lit(schema_id).alias("schema_id"),
+        (F.col("_ok") & (F.col("_rn") == 1)).alias("validated"),
+        F.when(F.col("_ok") & (F.col("_rn") == 1), "ok")
+        .otherwise("failed").alias("status"),
+        F.when(~F.col("_ok"), schema_fail_entries)
+        .when(F.col("_rn") > 1, dup_entry)
+        .otherwise(_empty_viol)
+        .alias("violations"),
+    )
     pk = shuffled.where(
         F.col("_ok") & (F.col("_rn") == 1) & F.col("_key").isNotNull()
     ).select(
@@ -617,7 +768,7 @@ def _validate_fused(
     return ValidationResult(
         verdicts=verdicts, violations=violations,
         pk_registries={(schema_id, uq.check_id): pk},
-        _persisted=persisted,
+        _persisted=persisted, wide=wide,
     )
 
 

@@ -41,7 +41,7 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from fairtracks_validator_spark.session import get_spark
 from fairtracks_validator_spark.plans.schema_compile import compile_schema
-from fairtracks_validator_spark.runner import validate_corpus
+from fairtracks_validator_spark.runner import validate_corpus, sink_observed
 from fairtracks_validator_spark.sources.pages import pages, pages_schema_dict
 
 cpus = {cpus}
@@ -72,7 +72,7 @@ plan = compile_schema(pages_schema_dict())
 # warm-up: JVM/codegen + OS page cache (excluded from timing)
 tbl.select(F.count("url"), F.count("text")).collect()
 warm = validate_corpus({{"pages/1.0": (plan, tbl.limit(10000))}})
-warm.verdicts.count()
+sink_observed(warm)
 spark.catalog.clearCache()
 
 
@@ -85,8 +85,12 @@ walls = []
 for _ in range({repeats}):
     t0 = time.time()
     res = validate_corpus({{"pages/1.0": (plan, tbl)}})
-    n = res.verdicts.count()
-    nv = res.violations.count()  # second action reuses the shuffle map stage
+    # ONE observed write materializes verdicts + nested violations and
+    # returns every count as an observe() accumulator — no per-output jobs
+    # (the r4 serial residue was 5 jobs / 9 stages from separate count
+    # actions; this path measures 2 jobs / 3 stages, AQE's map+final)
+    m = sink_observed(res)
+    n, nv = m["docs"], m["violations"]
     walls.append(time.time() - t0)
     spark.catalog.clearCache()
 tr = sc.statusTracker()
