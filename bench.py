@@ -14,7 +14,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_DIR)
 
 import __spark_entry__ as entrymod  # noqa: E402
 from fairtracks_validator_spark.session import get_spark  # noqa: E402
@@ -61,6 +62,22 @@ HEADLINE = [
     "unigram_logprob_documents",
     "training_pipeline_documents",
     "pack_sequences_documents",
+    # r5: every oracled query is benched (VERDICT r4 #2 — BENCH queries must
+    # be a superset of the CORRECTNESS keys; "how fast is X" has an answer
+    # for every X the correctness gate certifies)
+    "validate_events_props",
+    "profile_documents",
+    "hll_cardinality",
+    "ks_per_lang_documents",
+    "containment_verified_dups",
+    "dedup_keep_documents",
+    "embedding_neardup",
+    "fingerprint_documents",
+    "token_counts_documents",
+    "url_canonical_documents",
+    "stratified_sample_documents",
+    "train_val_split_documents",
+    "split_balance_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "1000000"))
@@ -120,9 +137,77 @@ def _pages_prep_throughput(spark) -> tuple[float, float]:
     return best, PAGES_BENCH_ROWS / best
 
 
+def _burn(n: int = 20_000_000) -> float:
+    """Single-thread busy-loop rate (iterations/sec) — the contention probe."""
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return n / (time.time() - t0)
+
+
+def _stream_validate_throughput(spark) -> tuple[float, float]:
+    """Incremental-path docs/sec: the streaming twin of the pages validation
+    run as an availableNow catch-up over a parquet file stream (VERDICT r4
+    #8). Micro-batched via maxFilesPerTrigger so the cross-batch registry
+    path is actually exercised, noDataMicroBatches off so the wall measures
+    data batches only."""
+    import shutil
+    import tempfile
+
+    from fairtracks_validator_spark.plans.schema_compile import compile_schema
+    from fairtracks_validator_spark.sources.pages import pages, pages_schema_dict
+    from fairtracks_validator_spark.streaming.validate_stream import (
+        validate_stream,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = max(PAGES_BENCH_ROWS // 5, 10_000)
+    scratch = os.path.join(REPO_DIR, ".data")
+    os.makedirs(scratch, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="ftval-stream-bench-", dir=scratch)
+    try:
+        src = os.path.join(work, "src")
+        (
+            pages(spark, rows, partitions=8)
+            .withColumn("source", F.col("url"))
+            .withColumn("ord", F.col("page_id"))
+            .write.mode("overwrite").parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled",
+                             "true")
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       "false")
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "2")
+                .parquet(src)
+            )
+            plan = compile_schema(pages_schema_dict())
+            t0 = time.time()
+            q = validate_stream(stream, plan, os.path.join(work, "out"))
+            q.awaitTermination()
+            dt = time.time() - t0
+        finally:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", old
+            )
+        return dt, rows / dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # contention sentinel (VERDICT r4 #3): sample the single-thread CPU rate
+    # before and after the timed loop; a busy host shows up as drift between
+    # the two samples, and the artifact says so instead of recording phantom
+    # regressions (all three r4 "regressions" were host contention).
+    cpu_rate_before = _burn()
     spark = get_spark(app_name="ftval-bench")
 
     qs = entrymod.queries()
@@ -160,6 +245,13 @@ def main():
     times["pages_validation"] = round(pages_sec, 3)
     prep_sec, prep_docs_per_sec = _pages_prep_throughput(spark)
     times["pages_corpus_prep"] = round(prep_sec, 3)
+    stream_sec, stream_docs_per_sec = _stream_validate_throughput(spark)
+    times["stream_validate"] = round(stream_sec, 3)
+
+    cpu_rate_after = _burn()
+    contention = min(cpu_rate_before, cpu_rate_after) / max(
+        cpu_rate_before, cpu_rate_after
+    )
 
     total = round(sum(times.values()), 3)
     print(
@@ -174,6 +266,12 @@ def main():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pages_docs_per_sec": round(pages_docs_per_sec, 1),
                 "pages_prep_docs_per_sec": round(prep_docs_per_sec, 1),
+                "stream_docs_per_sec": round(stream_docs_per_sec, 1),
+                # contention sentinel: single-thread CPU rate sampled before/
+                # after the run; ratio < 0.85 means the host was busy while
+                # timing and the walls above are suspect — re-run on quiet.
+                "cpu_probe_ratio": round(contention, 3),
+                "contended": contention < 0.85,
             }
         )
     )
