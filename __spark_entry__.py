@@ -2026,6 +2026,133 @@ ORDER BY source, check_id
 """
 
 
+# ----------------------------------------------------------------------- warc
+_WARC_FIXTURE_FILES = 8
+
+
+def _build_warc_fixture(docs_pdf, out_dir: str) -> None:
+    """Deterministic WARC archives from (doc_id, text) rows — independent
+    byte assembly per ISO 28500 (same layout the WARC unit tests build);
+    odd-numbered archives are per-record-gzip-member files (the Common-Crawl
+    layout), written with ``mtime=0`` so bytes are build-time-invariant."""
+    import gzip
+    import io
+    import os
+    from datetime import datetime, timezone
+
+    os.makedirs(out_dir, exist_ok=True)
+    buckets: dict[int, list[bytes]] = {
+        i: [] for i in range(_WARC_FIXTURE_FILES)
+    }
+    for doc_id, text in docs_pdf.itertuples(index=False):
+        doc_id = int(doc_id)
+        html = (
+            '<html><head><meta charset="utf-8"/></head><body><p>'
+            + text + "</p></body></html>"
+        ).encode()
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+            b"\r\n\r\n" + html
+        )
+        ts = datetime.fromtimestamp(
+            1700000000 + doc_id, tz=timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: https://warc.example/doc/{doc_id}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            "\r\n"
+        ).encode()
+        buckets[doc_id % _WARC_FIXTURE_FILES].append(hdr + http + b"\r\n\r\n")
+    for i, recs in buckets.items():
+        if i % 2:
+            buf = io.BytesIO()
+            for r in recs:  # one gzip member per record, Common-Crawl style
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(r)
+            data, name = buf.getvalue(), f"part-{i}.warc.gz"
+        else:
+            data, name = b"".join(recs), f"part-{i}.warc"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(data)
+
+
+def q_warc_pages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion cross-checked end-to-end (VERDICT r4 #4): documents
+    rows are serialized into real WARC archives (plain + member-gzip),
+    ingested back through ``warc_to_pages`` (``sources/warc.py:143-197``),
+    and the resulting north-star pages relation — url, parsed warc_ts,
+    byte-identical extracted text (as md5), langid — is compared against a
+    DuckDB replica computed directly from the documents table."""
+    import hashlib
+    import os
+
+    from fairtracks_validator_spark.sources.warc import warc_to_pages
+
+    pdf = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    key = hashlib.md5(
+        f"{sf_dir}:{len(pdf)}:{int(pdf['doc_id'].sum()) if len(pdf) else 0}"
+        .encode()
+    ).hexdigest()[:12]
+    d = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".data",
+        f"warc_fixture_{key}",
+    )
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        _build_warc_fixture(pdf, d)
+        open(os.path.join(d, "_DONE"), "w").close()
+    pages_df = warc_to_pages(spark, os.path.join(d, "part-*.warc*"))
+    return pages_df.select(
+        "url",
+        # epoch seconds: proves to_timestamp parsed the WARC-Date and stays
+        # session-timezone-independent in the cross-engine compare
+        F.unix_timestamp("warc_ts").alias("warc_epoch"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "lang",
+    ).orderBy("url")
+
+
+def _warc_pages_sql() -> str:
+    from fairtracks_validator_spark.functions.text import STOPWORDS
+
+    s = {lang: _sql_stopword_score(ws) for lang, ws in STOPWORDS.items()}
+    return f"""
+WITH x AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS xt
+  FROM documents WHERE text IS NOT NULL
+),
+tok AS (
+  SELECT doc_id, xt,
+         list_filter(string_split(xt, ' '), t -> t <> '') AS words
+  FROM x
+),
+sc AS (
+  SELECT doc_id, xt, {s['de']} AS s_de, {s['en']} AS s_en,
+         {s['es']} AS s_es, {s['fr']} AS s_fr
+  FROM tok
+)
+SELECT 'https://warc.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+  1700000000 + doc_id AS warc_epoch,
+  md5(xt) AS text_md5,
+  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS lang
+FROM sc ORDER BY url
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2078,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_documents": q_training_pipeline_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "split_balance_documents": q_split_balance_documents,
+        "warc_pages_documents": q_warc_pages_documents,
     }
 
 
@@ -2134,4 +2262,5 @@ def oracle_sql() -> dict[str, str]:
         "training_pipeline_documents": _TRAINING_PIPELINE_SQL,
         "pack_sequences_documents": _PACK_SEQUENCES_SQL,
         "split_balance_documents": _SPLIT_BALANCE_SQL,
+        "warc_pages_documents": _warc_pages_sql(),
     }

@@ -78,6 +78,7 @@ HEADLINE = [
     "stratified_sample_documents",
     "train_val_split_documents",
     "split_balance_documents",
+    "warc_pages_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "1000000"))
