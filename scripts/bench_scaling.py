@@ -53,6 +53,10 @@ spark = get_spark(app_name="scaling-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=64,
                   extra_conf={{
                       "spark.local.dir": "/dev/shm/spark-scaling",
+                      # same heap at both levels; 16 threads allocate ~4x faster
+                      # than 4, and an 8g heap turns that into GC pauses that
+                      # read as (phantom) scaling loss on a 128 GiB box
+                      "spark.driver.memory": "16g",
                       # keep AQE from coalescing reduce stages below the
                       # worker count at this data size (same conf both levels)
                       "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
@@ -122,6 +126,10 @@ spark = get_spark(app_name="scaling-prep-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=64,
                   extra_conf={{
                       "spark.local.dir": "/dev/shm/spark-scaling",
+                      # same heap at both levels; 16 threads allocate ~4x faster
+                      # than 4, and an 8g heap turns that into GC pauses that
+                      # read as (phantom) scaling loss on a 128 GiB box
+                      "spark.driver.memory": "16g",
                       "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
                   }})
 
