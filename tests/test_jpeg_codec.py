@@ -241,9 +241,13 @@ def test_jpeg_malformed_and_unsupported():
         _parse_jpeg(good[:40])
     prog = bytearray(good)
     idx = prog.find(bytes([0xFF, 0xC0]))
-    prog[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="SOF2"):
+    prog[idx + 1] = 0xC2  # SOF2 + a baseline SOS (Ss=0,Se=63) = malformed
+    with pytest.raises(ValueError, match="progressive DC scan"):
         _parse_jpeg(bytes(prog))
+    arith = bytearray(good)
+    arith[idx + 1] = 0xC9  # arithmetic coding: named unsupported
+    with pytest.raises(ValueError, match="SOF9"):
+        _parse_jpeg(bytes(arith))
 
 
 def test_jpeg_spark_surface(spark):
