@@ -770,13 +770,37 @@ def _validate_fused(
         # NOT persisted: caching a nested-array relation through the columnar
         # cache builder is slower than recomputing, and Spark reuses the
         # shuffle map outputs across actions on this lineage (skipped stages).
-        w = Window.partitionBy("_k2").orderBy("ord", "source")
-        shuffled = narrow.withColumn(
-            "_k2", F.coalesce(F.col("_key"), surrogate)
-        ).select(
-            "source", "ord", "_ok", "_fails", "_key",
-            F.row_number().over(w).alias("_rn"),
-            F.first("source").over(w).alias("_first_source"),
+        #
+        # Shape choices, both for the reduce stage's sort (the single most
+        # expensive step of the fused plan at 40M rows):
+        # - `_key` does not ride the shuffle: it equals `_k2` for keyed rows
+        #   and is only ever read for them (surrogate rows are rank 1 by
+        #   construction), so it is re-derived after the window from the
+        #   first byte (surrogates start with NUL, JSON key strings with
+        #   '[') — ~1/3 less shuffle volume.
+        # - rank via min(struct(ord, source)) over a KEY-ONLY window instead
+        #   of row_number over (key, ord, source): the sort key halves, and
+        #   rank no longer depends on intra-key sort stability (identical
+        #   (ord, source) identities tie as rank 1 instead of one of them
+        #   being arbitrarily blamed — same convention as the broadcast
+        #   path's comparison against the first holder).
+        w = Window.partitionBy("_k2")
+        row_os = F.struct(F.col("ord").alias("o"), F.col("source").alias("s"))
+        mn = F.min(row_os).over(w)
+        shuffled = (
+            narrow.withColumn("_k2", F.coalesce(F.col("_key"), surrogate))
+            .drop("_key")
+            .withColumn("_mn", mn)
+            .select(
+                "source", "ord", "_ok", "_fails",
+                F.when(
+                    F.substring("_k2", 1, 1) != "\x00", F.col("_k2")
+                ).alias("_key"),
+                F.when(row_os > F.col("_mn"), F.lit(2))
+                .otherwise(F.lit(1))
+                .alias("_rn"),
+                F.col("_mn.s").alias("_first_source"),
+            )
         )
     if cache_narrow:
         shuffled = shuffled.persist(StorageLevel.DISK_ONLY)
