@@ -250,7 +250,8 @@ checks + url-uniqueness shuffle + verdict materialization over the same
 deterministic {N_ROWS:,}-row input, separate JVMs, warm-up excluded) at two
 parallelism levels (N={n_lo} and 4N={n_lo * 4} worker threads).
 
-Methodology (r4): {ROUNDS} interleaved rounds, each a fresh-JVM N run
+Methodology (r4 protocol; r5 numbers measure the slimmed
+key-only-sort reduce stage of commit 20ed974): {ROUNDS} interleaved rounds, each a fresh-JVM N run
 immediately followed by a fresh-JVM 4N run (best-of-3 inside each), with
 the pure-CPU busy-loop hardware ceiling sampled before and after every
 round. Efficiency is computed per round from its adjacent pair; the
