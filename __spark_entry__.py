@@ -119,7 +119,16 @@ def q_validate_documents_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     res = validate_corpus({"documents/1.0": (plan, docs)}, dup_strategy="broadcast")
-    return res.violations.select("source", "check_id").orderBy("source", "check_id")
+    # materialize before release(): the broadcast path persists its firsts
+    # relation (ValidationResult contract: caller owns the unpersist) — a
+    # leaked cache pins driver memory for the rest of the oracle/bench run
+    out = (
+        res.violations.select("source", "check_id")
+        .orderBy("source", "check_id")
+        .localCheckpoint(eager=True)
+    )
+    res.release()
+    return out
 
 
 _VALIDATE_DOCUMENTS_SQL = """
@@ -2067,11 +2076,16 @@ def _build_warc_fixture(docs_pdf, out_dir: str) -> None:
     buckets: dict[int, list[bytes]] = {
         i: [] for i in range(_WARC_FIXTURE_FILES)
     }
+    from html import escape as _esc
+
     for doc_id, text in docs_pdf.itertuples(index=False):
         doc_id = int(doc_id)
+        # escape & < > — extract_text unescapes on ingestion, so the
+        # text_md5 round trip holds for ANY document text, not just the
+        # entity-free current testdata
         html = (
             '<html><head><meta charset="utf-8"/></head><body><p>'
-            + text + "</p></body></html>"
+            + _esc(text, quote=False) + "</p></body></html>"
         ).encode()
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
@@ -2123,7 +2137,9 @@ def q_warc_pages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
     )
     key = hashlib.md5(
-        f"{sf_dir}:{len(pdf)}:{int(pdf['doc_id'].sum()) if len(pdf) else 0}"
+        # v2: builder escapes & < > into the HTML (paired with the
+        # entity-unescaping extractor 1.1.0)
+        f"v2:{sf_dir}:{len(pdf)}:{int(pdf['doc_id'].sum()) if len(pdf) else 0}"
         .encode()
     ).hexdigest()[:12]
     d = os.path.join(

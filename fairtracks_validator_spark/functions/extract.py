@@ -15,16 +15,26 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-EXTRACTOR_VERSION = "1.0.0"
+EXTRACTOR_VERSION = "1.1.0"
 
 _TAG_RE = r"<[^>]*>"
 _WS_RE = r"\s+"
 
 
 def extract_text_pd(html: pd.Series) -> pd.Series:
-    """Pure pandas kernel (unit-testable without Spark)."""
+    """Pure pandas kernel (unit-testable without Spark).
+
+    Order matters: strip real tags FIRST, then unescape entities — so
+    escaped literal markup in the source text (``&lt;b&gt;``) survives as
+    text instead of being stripped as a tag (browser semantics). 1.1.0
+    added the entity unescape: producers embedding text into HTML must
+    escape ``& < >`` and the round trip is then byte-exact."""
+    import html as _html
+
     s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
     s = s.str.replace(_TAG_RE, " ", regex=True)
+    # html.unescape short-circuits on '&'-free strings; NaN/None pass through
+    s = s.map(lambda t: _html.unescape(t) if isinstance(t, str) else t)
     s = s.str.replace(_WS_RE, " ", regex=True)
     return s.str.strip()
 

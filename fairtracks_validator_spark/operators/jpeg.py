@@ -230,6 +230,18 @@ def _parse_jpeg(payload: bytes):
                 cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_comps.append((cid, tids >> 4, tids & 0xF))
             if not progressive:
+                # undefined table ids are malformed DATA → the module's
+                # ValueError contract, not a KeyError deep in the scan loop
+                for cid, d, a in scan_comps:
+                    if d not in dc_tabs:
+                        raise ValueError(f"JPEG scan references undefined DC table {d}")
+                    if a not in ac_tabs:
+                        raise ValueError(f"JPEG scan references undefined AC table {a}")
+                for _cid, _hs, _vs, qid in frame[2]:
+                    if qid not in qts:
+                        raise ValueError(
+                            f"JPEG component references undefined quant table {qid}"
+                        )
                 return _decode_scan(
                     payload[i:], frame,
                     {cid: (d, a) for cid, d, a in scan_comps},
@@ -238,6 +250,16 @@ def _parse_jpeg(payload: bytes):
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah_al = seg[3 + 2 * ns]
             ah, al = ah_al >> 4, ah_al & 0xF
+            if ss == 0 and ah == 0:
+                # first DC pass reads Huffman codes; refinement passes and
+                # AC scans don't touch the DC tables (T.81 G.1.2)
+                for cid, d, _a in scan_comps:
+                    if d not in dc_tabs:
+                        raise ValueError(f"JPEG scan references undefined DC table {d}")
+            elif ss > 0:
+                for cid, _d, a in scan_comps:
+                    if a not in ac_tabs:
+                        raise ValueError(f"JPEG scan references undefined AC table {a}")
             if prog is None:
                 prog = _ProgState(frame)
             consumed = prog.decode_scan(
@@ -508,6 +530,10 @@ class _ProgState:
         for cid, hs, vs, qid in comps:
             grid = self.coefs[cid]
             bh, bw = grid.shape[0], grid.shape[1]
+            if qid not in qts:
+                raise ValueError(
+                    f"JPEG component references undefined quant table {qid}"
+                )
             qt = qts[qid]
             blocks = grid.reshape(-1, 64).astype(np.float64) * qt
             nat = np.zeros_like(blocks)

@@ -227,6 +227,12 @@ def _pil_module():
         try:
             from PIL import Image
 
+            # PIL's global decompression-bomb limit (~89.5 Mpx default)
+            # would make decoder='auto' reject payloads the stdlib path
+            # decodes fine — row-presence divergence between paths. The
+            # library's own `max_pixels` kernel gate (enforced identically
+            # on BOTH paths from header dims) is the bomb guard instead.
+            Image.MAX_IMAGE_PIXELS = None
             _pil_image = Image
         except Exception:
             _pil_image = None
@@ -249,6 +255,51 @@ def _pil_parse(payload: bytes):
     img = _pil_module().open(io.BytesIO(payload)).convert("RGB")
     px = np.asarray(img, dtype=np.uint8)
     return px.shape[1], px.shape[0], px
+
+
+def _image_dims(payload: bytes) -> tuple[int, int] | None:
+    """Header-only dimension sniff for PPM/PNG/JPEG — the decoder-agnostic
+    input to the ``max_pixels`` decompression-bomb gate (checked BEFORE any
+    pixel buffer is allocated, on both the PIL and stdlib paths). Returns
+    None when the header can't be read; the decoder then raises its own
+    named error."""
+    try:
+        if payload.startswith(b"P6"):
+            parts = payload[:64].split()
+            return int(parts[1]), int(parts[2])
+        if payload.startswith(_PNG_SIG):
+            return (
+                int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"),
+            )
+        if payload.startswith(b"\xff\xd8"):
+            i = 2
+            while i + 4 <= len(payload):
+                if payload[i] != 0xFF:
+                    return None
+                m = payload[i + 1]
+                if m == 0x01 or 0xD0 <= m <= 0xD9:
+                    i += 2  # standalone markers carry no length
+                    continue
+                if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                    h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                    w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                    return w, h
+                i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+    except (IndexError, ValueError):
+        return None
+    return None
+
+
+def _check_max_pixels(payload: bytes, max_pixels: int | None) -> None:
+    if max_pixels is None:
+        return
+    dims = _image_dims(payload)
+    if dims is not None and dims[0] * dims[1] > max_pixels:
+        raise ValueError(
+            f"image dimensions {dims[0]}x{dims[1]} exceed "
+            f"max_pixels={max_pixels}"
+        )
 
 
 def _resolve_decoder(decoder: str) -> bool:
@@ -309,8 +360,16 @@ def decode_image_batch(
     fake_decoder: bool = False,
     on_error: str = "fail",
     decoder: str = "auto",
+    max_pixels: int | None = None,
 ) -> DataFrame:
     """Decode a binary column into typed features via mapInPandas.
+
+    ``max_pixels``: decompression-bomb gate — payloads whose header dims
+    exceed it raise a named ValueError BEFORE any pixel buffer allocates,
+    identically on the PIL and stdlib paths (PIL's own global limit is
+    disabled so the two paths never diverge on row presence). None (the
+    default) decodes any size; untrusted web corpora should set an explicit
+    budget (e.g. ``178_956_970`` — PIL's historical 2×-limit).
 
     ``decoder`` (r5, VERDICT r4 #5): ``"auto"`` routes PNG/JPEG through a
     runtime-detected PIL when installed (C decode, ~10-100x the pure-Python
@@ -332,6 +391,7 @@ def decode_image_batch(
     allow_pil = _resolve_decoder(decoder)
 
     def kernel(payload: bytes):
+        _check_max_pixels(payload, max_pixels)
         if payload.startswith(b"P6"):
             # PPM decodes for real (pure numpy — no external codec needed)
             return _ppm_decode(payload)
@@ -392,6 +452,7 @@ def resize_image_batch(
     fake_kernel: bool = False,
     on_error: str = "fail",
     decoder: str = "auto",
+    max_pixels: int | None = None,
 ) -> DataFrame:
     """Resize a binary image column via mapInPandas (same contract as
     :func:`decode_image_batch`: real Arrow plumbing + output schema, codec
@@ -405,6 +466,8 @@ def resize_image_batch(
 
     def kernel(payload: bytes) -> bytes:
         import numpy as np
+
+        _check_max_pixels(payload, max_pixels)
 
         def resample(w, h, px):
             xi = np.minimum((np.arange(target_w) * w) // target_w, w - 1)

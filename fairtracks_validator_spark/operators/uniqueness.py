@@ -143,12 +143,15 @@ def _resolve_single_pass(keys: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     w = Window.partitionBy("key_str")
     row_os = F.struct(F.col("ord").alias("o"), F.col("source").alias("s"))
-    ranked = keys.select(
+    # bind the window aggregate ONCE (withColumn) — two inline
+    # F.min(...).over(w) expressions each get their own aggregate
+    # processor in WindowExec, doubling the reduce-stage work
+    ranked = keys.withColumn("_mn", F.min(row_os).over(w)).select(
         "source",
         "ord",
         "key_str",
-        (row_os > F.min(row_os).over(w)).alias("_dup"),
-        F.min(row_os).over(w).getField("s").alias("first_source"),
+        (row_os > F.col("_mn")).alias("_dup"),
+        F.col("_mn").getField("s").alias("first_source"),
     )
     colliding = ranked.where(F.col("_dup")).drop("_dup")
     pk_keys = ranked.where(~F.col("_dup")).select("source", "ord", "key_str")

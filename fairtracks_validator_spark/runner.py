@@ -202,7 +202,12 @@ def sink_observed(
     observed = wide.observe(
         obs,
         F.count(F.lit(1)).alias("docs"),
-        F.sum((~F.col("validated")).cast("long")).alias("failed_docs"),
+        # status=='failed', NOT ~validated: orphan docs (status='ignored')
+        # also carry validated=False and must not double-count as failures
+        # (same convention as ValidationResult.summary())
+        F.sum((F.col("status") == F.lit("failed")).cast("long")).alias(
+            "failed_docs"
+        ),
         F.sum((F.col("status") == F.lit("ignored")).cast("long")).alias(
             "ignored_docs"
         ),
@@ -399,6 +404,11 @@ def validate_corpus(
     scan size) or when shuffle capacity, not scan bandwidth, is the
     cluster's binding constraint.
     """
+    if dup_strategy not in ("window", "auto", "broadcast"):
+        raise ValueError(
+            "dup_strategy must be 'window', 'auto' or 'broadcast', "
+            f"got {dup_strategy!r}"
+        )
     spark = next(iter(corpus.values()))[1].sparkSession
     empty_violations = spark.createDataFrame([], VIOLATION_SCHEMA)
     persisted: list = []  # released by ValidationResult.release()

@@ -98,9 +98,17 @@ def pages(
         ),
     )
 
+    # escape & < > when embedding (extract_text 1.1.0 unescapes on the way
+    # out) — the round trip stays byte-exact for ANY word list, not just
+    # entity-free ones; '&' must escape first
+    esc_text = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(text, "&", "&amp;"), "<", "&lt;"),
+        ">",
+        "&gt;",
+    )
     html = F.concat(
         F.lit('<html><head><meta charset="utf-8" data-p="'), src_id.cast("string"),
-        F.lit('"/></head><body><p>'), text, F.lit("</p></body></html>"),
+        F.lit('"/></head><body><p>'), esc_text, F.lit("</p></body></html>"),
     ).cast("binary")
 
     null_text = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 5)), F.lit(1000)) < int(

@@ -72,3 +72,43 @@ def test_pil_parity_with_stdlib(spark):
     for i in rp:
         if i % 2 == 0:
             assert rp[i] == rs[i]
+
+
+def test_max_pixels_gate_uniform_across_paths(spark):
+    """The decompression-bomb gate fires from header dims BEFORE decode,
+    identically on every decoder path (code-review r5: PIL's own global
+    limit previously made 'auto' reject payloads 'stdlib' decoded fine)."""
+    df = _corpus(spark)  # images are 24x16..27x19 = 384..513 px
+    for decoder in ("auto", "stdlib"):
+        # generous budget: everything decodes
+        ok = decode_image_batch(df, decoder=decoder, max_pixels=10_000).collect()
+        assert len(ok) == 8 and all(r["checksum"] for r in ok)
+        # tiny budget: every row fails with the NAMED error, captured
+        cap = decode_image_batch(
+            df, decoder=decoder, max_pixels=100, on_error="capture"
+        ).collect()
+        assert len(cap) == 8
+        assert all(
+            r["error"] and "exceed max_pixels=100" in r["error"] for r in cap
+        )
+        # fail mode propagates the ValueError
+        with pytest.raises(Exception, match="max_pixels"):
+            decode_image_batch(df, decoder=decoder, max_pixels=100).collect()
+    # resize honors the same gate
+    cap = resize_image_batch(
+        df, 8, 8, decoder="stdlib", max_pixels=100, on_error="capture"
+    ).collect()
+    assert all(r["error"] and "max_pixels" in r["error"] for r in cap)
+
+
+def test_image_dims_header_sniff():
+    """_image_dims reads dims from headers alone — PPM, PNG, JPEG."""
+    from fairtracks_validator_spark.operators.multimodal import _image_dims
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    assert _image_dims(_encode_png(px)) == (21, 13)
+    assert _image_dims(encode_jpeg(px)) == (21, 13)
+    assert _image_dims(b"P6\n21 13\n255\n" + px.tobytes()) == (21, 13)
+    assert _image_dims(b"\x00not an image") is None
+    assert _image_dims(b"\xff\xd8\x00trunc") is None

@@ -117,7 +117,41 @@ def test_no_shuffle_in_broadcast_main_pass(spark):
     )
     physical = res.verdicts._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in physical
-    assert "ShuffleExchange" not in physical.replace(
-        "BroadcastExchange", ""
-    ), physical
+    # map-only means: no shuffle on the MAIN corpus stream. The bounded
+    # probe jobs (duplicate-key + firsts aggregates) DO shuffle, but only
+    # inside BroadcastExchange build subtrees.
+    assert _shuffles_outside_broadcast(physical) == [], physical
     res.release()
+    # positive control: the window strategy on the same input DOES shuffle
+    # the main stream, proving the walker detects what it claims to exclude
+    res_w = validate_corpus({"bc/1.0": (plan, _df(spark))}, dup_strategy="window")
+    physical_w = res_w.verdicts._jdf.queryExecution().executedPlan().toString()
+    assert _shuffles_outside_broadcast(physical_w), physical_w
+    res_w.release()
+
+
+def _shuffles_outside_broadcast(physical: str) -> list[str]:
+    """Shuffle-exchange lines of a rendered physical plan whose ancestor
+    chain contains no BroadcastExchange. ShuffleExchangeExec prints as
+    'Exchange hashpartitioning/rangepartitioning/SinglePartition' — NOT
+    'ShuffleExchange' (code-review r5: the old substring could never fire).
+    Tree depth = the node connector position ('+- ' / ':- ')."""
+    import re
+
+    stack: list[tuple[int, bool]] = []  # (node-name position, is_broadcast)
+    bad = []
+    for ln in physical.splitlines():
+        if not ln.strip():
+            continue
+        # depth = position of the node name: skip tree glyphs (' ', ':',
+        # '|', '+', '-') — robust to AQE stage lines with NO connector
+        # ('ResultQueryStage 3') and '== Final Plan ==' section markers
+        ind = re.match(r"^[ :|+\-]*", ln).end()
+        node = re.sub(r"^\*?\(\d+\) ", "", ln[ind:])  # codegen '*(k) '
+        while stack and stack[-1][0] >= ind:
+            stack.pop()
+        is_shuffle = node.startswith("Exchange ") or node.startswith("AQEShuffleRead")
+        if is_shuffle and not any(b for _, b in stack):
+            bad.append(ln)
+        stack.append((ind, node.startswith("BroadcastExchange")))
+    return bad

@@ -282,3 +282,24 @@ def test_jpeg_spark_surface(spark):
         w, h, got = _parse_png(bytes(out[i]["payload"]))
         assert (w, h) == (5, 7)
         assert np.array_equal(got, px[yi][:, xi])
+
+
+def test_undefined_table_ids_raise_valueerror():
+    """Scans referencing never-defined Huffman/quant tables are malformed
+    DATA → the module's ValueError contract, not a KeyError (code-review
+    r5: capture mode must record a named decode error)."""
+    import numpy as np
+
+    from fairtracks_validator_spark.operators.jpeg import _parse_jpeg
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(px))
+    # find SOS (FFDA) and patch the first component's Td/Ta nibbles to
+    # table ids 7/7, which no DHT in this stream defines
+    i = payload.find(b"\xff\xda")
+    assert i > 0
+    # FFDA len(2) ns cid tids -> tids at offset i+6
+    payload[i + 6] = 0x77
+    with pytest.raises(ValueError, match="undefined (DC|AC) table"):
+        _parse_jpeg(bytes(payload))

@@ -208,3 +208,31 @@ def test_planted_duplicate_count_is_exact(spark):
         (h < thr) & (F.col("id") > 0) & ~((ph < thr) & (F.col("id") - 1 > 0))
     ).count()
     assert n - n_urls == planted
+
+
+def test_extract_text_entity_round_trip():
+    """Extractor 1.1.0: builders escape & < > into HTML; extraction
+    unescapes AFTER tag-strip, so escaped literal markup in the text
+    survives as text (browser semantics) and the round trip is byte-exact
+    for any text content (code-review r5 — previously latent against any
+    testdata regeneration containing entities)."""
+    import html as html_mod
+
+    import pandas as pd
+
+    from fairtracks_validator_spark.functions.extract import extract_text_pd
+
+    texts = [
+        "plain words only",
+        "a < b && c > d",
+        "literal <b>not bold</b> tags in text",
+        "amp-entity &amp; stays one level",
+    ]
+    payloads = pd.Series([
+        (
+            '<html><body><p>' + html_mod.escape(t, quote=False) + "</p></body></html>"
+        ).encode()
+        for t in texts
+    ])
+    out = extract_text_pd(payloads)
+    assert list(out) == texts

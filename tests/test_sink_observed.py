@@ -125,3 +125,36 @@ def test_observed_sink_job_count(spark):
     tracker = sc.statusTracker()
     jobs = tracker.getJobIdsForGroup("sink-jobs")
     assert 1 <= len(jobs) <= 3, f"expected one observed action, saw {jobs}"
+
+
+def test_observed_counts_exclude_ignored_from_failed(spark):
+    """Orphan (status='ignored') docs carry validated=False but must NOT
+    count as failed_docs — sink_observed and summary() agree (code-review
+    r5: the sink previously summed ~validated, double-counting orphans)."""
+    from fairtracks_validator_spark.runner import validate_routed
+
+    plan = compile_schema(_DOCS_SCHEMA)
+    df = spark.createDataFrame(
+        [
+            ("a", "t/1.0", "alice", 1),
+            ("b", "t/1.0", "x", 2),       # minLength violation -> failed
+            ("c", "ghost/9", "bob", 3),   # orphan -> ignored
+            ("d", "ghost/9", "eve", 4),   # orphan -> ignored
+        ],
+        "source string, schema_id string, name string, n int",
+    ).withColumn("ord", F.monotonically_increasing_id())
+    res = validate_routed(df, {"t/1.0": plan})
+    m = sink_observed(res)
+    s = res.summary()
+    assert m["docs"] == s["docs"] == 4
+    assert m["failed_docs"] == s["failed_docs"] == 1
+    assert m["ignored_docs"] == s["ignored_docs"] == 2
+    res.release()
+
+
+def test_invalid_dup_strategy_rejected(spark):
+    plan = compile_schema(_DOCS_SCHEMA)
+    import pytest
+
+    with pytest.raises(ValueError, match="dup_strategy"):
+        validate_corpus({"t/1.0": (plan, _corpus(spark))}, dup_strategy="bcast")
