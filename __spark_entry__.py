@@ -2192,6 +2192,150 @@ FROM sc ORDER BY url
 """
 
 
+# ----------------------------------------------------- decontamination (r5)
+def q_decontam_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing 8-grams with an eval set.
+
+    Fixture: doc_id < 20 acts as the held-out benchmark; the scored corpus
+    is everything else plus perturbed clones of the benchmark docs (text +
+    ' extra extra', id + 1e6) — the clones MUST be flagged with near-1.0
+    containment, the rest only by (deterministic) chance overlaps."""
+    from fairtracks_validator_spark.operators.decontam import (
+        benchmark_ngrams,
+        contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20)
+    corpus = docs.where(F.col("doc_id") >= 20).unionByName(
+        bench.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra extra")).alias("text"),
+        )
+    )
+    bg = benchmark_ngrams(bench, "text", n=8)
+    return contamination_report(_par(corpus), bg, "doc_id", "text", n=8)
+
+
+_DECONTAM_SQL_T = """
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra extra' AS text FROM bench
+),
+btok AS (SELECT {TOKENS} AS words FROM bench),
+bg AS (
+  SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS gram
+  FROM btok, LATERAL (
+    SELECT unnest(range(1, greatest(len(words) - 6, 1))) AS i
+  ) s
+  WHERE len(words) >= 8
+),
+dtok AS (SELECT doc_id, {TOKENS} AS words FROM corpus),
+dg AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+7], ' ')
+                        for i in range(1, greatest(len(words) - 6, 1))]) AS grams
+  FROM dtok
+)
+SELECT e.doc_id,
+       CAST(len(e.grams) AS INT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS overlap_grams,
+       round(COUNT(*)::DOUBLE / len(e.grams), 6) AS overlap_frac
+FROM (SELECT doc_id, grams, unnest(grams) AS gram FROM dg) e
+JOIN bg USING (gram)
+GROUP BY e.doc_id, len(e.grams)
+"""
+
+
+def _decontam_sql() -> str:
+    return _DECONTAM_SQL_T.replace("{TOKENS}", _SQL_TOKENS)
+
+
+# ------------------------------------------------------- line-level dedup (r5)
+def _chunk_lines(col, k: int = 8):
+    """Deterministic pseudo-lines: k-word chunks of the (newline-free)
+    synthetic text, mirroring the SQL ``range(1, len+1, k)`` starts."""
+    from fairtracks_validator_spark.functions.expr import let_
+
+    return let_(
+        text_tokens(col),
+        lambda t: F.when(
+            F.size(t) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t), F.lit(k)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def q_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide duplicated-line removal, first-writer keep.
+
+    Fixture: exact clones of doc_id < 20 (id + 1e6) duplicate every line of
+    their originals — the originals keep all lines (first writer by
+    (doc_id, pos) total order), the clones lose all of theirs; everyone
+    else only loses (deterministic) chance-repeated 8-word chunks."""
+    from fairtracks_validator_spark.operators.lines import line_dedup
+
+    docs = _docs_with_clones(spark, sf_dir)
+    lines = docs.select("doc_id", _chunk_lines(F.col("text")).alias("_lines"))
+    out = line_dedup(lines, "doc_id", "_lines", min_count=2, keep="first")
+    return out.select(
+        "doc_id",
+        F.concat_ws("\n", "lines_kept").alias("text_kept"),
+        "n_lines",
+        "n_kept",
+        "n_dropped",
+    )
+
+
+_LINE_DEDUP_SQL_T = """
+WITH corpus AS ({CLONES}),
+tok AS (SELECT doc_id, {TOKENS} AS words FROM corpus),
+lin AS (
+  SELECT t.doc_id,
+         CAST((s.i - 1) / 8 AS INT) AS pos,
+         array_to_string(t.words[s.i:s.i+7], ' ') AS line
+  FROM tok t
+  LEFT JOIN LATERAL (
+    SELECT unnest(range(1, len(t.words) + 1, 8)) AS i
+  ) s ON TRUE
+),
+marked AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN trim(line) <> '' THEN md5(trim(line)) END AS h
+  FROM lin
+),
+flagged AS (
+  SELECT doc_id, pos, line, h,
+         COUNT(*) OVER (PARTITION BY h) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM marked
+),
+kept AS (
+  SELECT doc_id, pos, line,
+         (h IS NULL OR cnt < 2 OR rn = 1) AS keep
+  FROM flagged
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+    AS text_kept,
+  CAST(COUNT(line) AS INT) AS n_lines,
+  CAST(COUNT(CASE WHEN keep THEN 1 END) AS INT) AS n_kept,
+  CAST(COUNT(line) - COUNT(CASE WHEN keep THEN 1 END) AS INT) AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
+def _line_dedup_sql() -> str:
+    return _LINE_DEDUP_SQL_T.replace(
+        "{CLONES}", _DOCS_CLONES_SQL.replace("{SUFFIX}", "")
+    ).replace("{TOKENS}", _SQL_TOKENS)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2246,6 +2390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "split_balance_documents": q_split_balance_documents,
         "warc_pages_documents": q_warc_pages_documents,
+        "decontam_documents": q_decontam_documents,
+        "line_dedup_documents": q_line_dedup_documents,
     }
 
 
@@ -2304,4 +2450,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_documents": _PACK_SEQUENCES_SQL,
         "split_balance_documents": _SPLIT_BALANCE_SQL,
         "warc_pages_documents": _warc_pages_sql(),
+        "decontam_documents": _decontam_sql(),
+        "line_dedup_documents": _line_dedup_sql(),
     }

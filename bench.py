@@ -79,6 +79,9 @@ HEADLINE = [
     "train_val_split_documents",
     "split_balance_documents",
     "warc_pages_documents",
+    # r5: benchmark decontamination + CCNet-style line dedup
+    "decontam_documents",
+    "line_dedup_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "1000000"))

@@ -1,0 +1,110 @@
+"""Benchmark decontamination — flag training documents that overlap an
+evaluation/benchmark set by word n-grams.
+
+The published recipe (GPT-3 appendix C: 13-gram overlap; PaLM / Llama use
+8–10-gram variants — all public papers) is a set-intersection between each
+training document's word n-grams and the union of n-grams appearing in the
+held-out benchmark corpus. Documents whose overlap exceeds a threshold are
+dropped (or trimmed) before training so eval scores are not inflated by
+memorized test items.
+
+Spark shape — built for a tiny-benchmark / huge-corpus asymmetry:
+
+- the benchmark gram set is computed once (distinct n-grams over the eval
+  corpus; millions of rows at most) and BROADCAST — the 100 TB training
+  side never shuffles;
+- each training document's grams are produced row-local with higher-order
+  functions (:func:`..functions.text.word_ngrams` — one let-bound
+  tokenization, no per-row Python) and exploded map-side;
+- the broadcast inner join keeps ONLY matching grams, so the follow-up
+  per-document aggregation shuffles just the contaminated slice of the
+  corpus (normally a vanishing fraction), keyed by doc id.
+
+Every hash-free string comparison is exact, so the whole operator has a
+byte-exact DuckDB oracle (``__spark_entry__.q_decontam_documents``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expr import let_
+from ..functions.text import word_ngrams
+
+
+def benchmark_ngrams(bench: DataFrame, text_col: str, n: int = 8) -> DataFrame:
+    """Distinct word n-grams of the benchmark corpus: one column ``gram``.
+
+    This is the broadcast side — dedupe it here (one small shuffle over the
+    benchmark only) so the join build side is minimal."""
+    return (
+        bench.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .where(F.length("gram") > 0)
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document overlap with the benchmark gram set.
+
+    Returns ``(doc_id, n_grams, overlap_grams, overlap_frac)`` for every
+    document sharing at least one n-gram with the benchmark — clean
+    documents (the overwhelming majority at scale) produce no row and no
+    shuffled bytes. ``n_grams`` counts the document's DISTINCT n-grams, so
+    ``overlap_frac`` is set containment of the doc's gram set in the
+    benchmark's.
+
+    ``bench_grams`` must come from :func:`benchmark_ngrams` with the same
+    ``n``; it is broadcast (decontamination is only meaningful when the
+    eval set is dwarfed by the training corpus)."""
+    grams = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        let_(
+            word_ngrams(text_col, n),
+            lambda g: F.struct(F.size(g).alias("n"), g.alias("arr")),
+        ).alias("_g"),
+    ).select("doc_id", F.col("_g.n").alias("n_grams"), F.explode("_g.arr").alias("gram"))
+    return (
+        grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "overlap_grams",
+            F.round(F.col("overlap_grams") / F.col("n_grams"), 6).alias("overlap_frac"),
+        )
+    )
+
+
+def remove_contaminated(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_overlap_frac: float = 0.0,
+) -> DataFrame:
+    """Drop documents whose benchmark containment exceeds
+    ``max_overlap_frac`` (0.0 = any shared n-gram disqualifies).
+
+    The flagged-id relation is the contamination report filtered to the
+    threshold — tiny by construction — so the anti-join broadcasts and the
+    corpus passes through map-side."""
+    flagged = (
+        contamination_report(docs, bench_grams, id_col, text_col, n)
+        .where(F.col("overlap_frac") > max_overlap_frac)
+        .select(F.col("doc_id").alias("_flagged_id"))
+    )
+    return docs.join(
+        F.broadcast(flagged),
+        F.col(id_col).cast("long") == F.col("_flagged_id"),
+        "left_anti",
+    )

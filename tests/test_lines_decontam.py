@@ -1,0 +1,170 @@
+"""Line-level dedup + benchmark decontamination (r5 corpus operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fairtracks_validator_spark.operators.decontam import (
+    benchmark_ngrams,
+    contamination_report,
+    remove_contaminated,
+)
+from fairtracks_validator_spark.operators.lines import dedup_lines_text, line_dedup
+
+
+def _by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+# ----------------------------------------------------------------- line dedup
+def _lines_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, ["nav menu", "unique one", "footer"]),
+            (2, ["nav menu", "unique two", "footer"]),
+            (3, ["unique three"]),
+            (4, []),
+        ],
+        "doc_id long, lines array<string>",
+    )
+
+
+def test_line_dedup_keep_first(spark):
+    out = _by_id(line_dedup(_lines_df(spark), "doc_id", "lines", keep="first"))
+    assert out[1]["lines_kept"] == ["nav menu", "unique one", "footer"]
+    assert out[2]["lines_kept"] == ["unique two"]
+    assert (out[2]["n_lines"], out[2]["n_kept"], out[2]["n_dropped"]) == (3, 1, 2)
+    assert out[3]["lines_kept"] == ["unique three"]
+    assert out[4]["lines_kept"] == [] and out[4]["n_lines"] == 0
+
+
+def test_line_dedup_keep_none(spark):
+    out = _by_id(line_dedup(_lines_df(spark), "doc_id", "lines", keep="none"))
+    assert out[1]["lines_kept"] == ["unique one"]
+    assert out[2]["lines_kept"] == ["unique two"]
+
+
+def test_line_dedup_first_writer_is_position_order_within_doc(spark):
+    # duplicate INSIDE one document: first occurrence (lowest pos) survives
+    df = spark.createDataFrame(
+        [(7, ["same", "mid", "same"])], "doc_id long, lines array<string>"
+    )
+    out = _by_id(line_dedup(df, "doc_id", "lines", keep="first"))
+    assert out[7]["lines_kept"] == ["same", "mid"]
+
+
+def test_line_dedup_blank_lines_exempt(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "", "  ", "x"]), (2, ["b", "", "  ", "x"])],
+        "doc_id long, lines array<string>",
+    )
+    out = _by_id(line_dedup(df, "doc_id", "lines", keep="none"))
+    # blank/whitespace lines are never counted as duplicates; "x" is
+    assert out[1]["lines_kept"] == ["a", "", "  "]
+    assert out[2]["lines_kept"] == ["b", "", "  "]
+
+
+def test_line_dedup_normalize_key_trims(spark):
+    df = spark.createDataFrame(
+        [(1, ["pad  "]), (2, ["  pad"])], "doc_id long, lines array<string>"
+    )
+    out = _by_id(line_dedup(df, "doc_id", "lines", keep="none"))
+    # trim-normalized keys collide even though raw bytes differ
+    assert out[1]["lines_kept"] == [] and out[2]["lines_kept"] == []
+
+
+def test_line_dedup_min_count_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, ["dup"]), (2, ["dup"]), (3, ["dup"])],
+        "doc_id long, lines array<string>",
+    )
+    out = _by_id(line_dedup(df, "doc_id", "lines", min_count=4, keep="none"))
+    assert all(out[i]["lines_kept"] == ["dup"] for i in (1, 2, 3))
+
+
+def test_line_dedup_partition_invariant(spark):
+    df = _lines_df(spark)
+    a = line_dedup(df, "doc_id", "lines", keep="first")
+    b = line_dedup(df.repartition(7), "doc_id", "lines", keep="first")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dedup_lines_text_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "nav\nkeep one\nfooter"), (2, "nav\nkeep two\nfooter")],
+        "doc_id long, text string",
+    )
+    out = _by_id(dedup_lines_text(df, "doc_id", "text", keep="first"))
+    assert out[1]["text"] == "nav\nkeep one\nfooter"
+    assert out[2]["text"] == "keep two"
+    assert out[2]["n_dropped"] == 2
+
+
+def test_line_dedup_rejects_bad_keep(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        line_dedup(_lines_df(spark), "doc_id", "lines", keep="last")
+
+
+# ------------------------------------------------------------- decontamination
+def _bench_corpus(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the full benchmark 8-gram inside a longer doc
+            (1, "intro alpha beta gamma delta epsilon zeta eta theta outro"),
+            # clean: same words, different order — no shared 8-gram
+            (2, "theta eta zeta epsilon delta gamma beta alpha padding words"),
+            # too short for any 8-gram
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    return bench, corpus
+
+
+def test_contamination_report_flags_embedded_gram(spark):
+    bench, corpus = _bench_corpus(spark)
+    bg = benchmark_ngrams(bench, "text", n=8)
+    rep = _by_id(contamination_report(corpus, bg, "doc_id", "text", n=8))
+    assert set(rep) == {1}
+    # doc 1 has 10 tokens -> 3 distinct 8-grams, exactly 1 overlaps
+    assert rep[1]["n_grams"] == 3 and rep[1]["overlap_grams"] == 1
+    assert abs(rep[1]["overlap_frac"] - 1 / 3) < 1e-6
+
+
+def test_remove_contaminated_drops_only_flagged(spark):
+    bench, corpus = _bench_corpus(spark)
+    bg = benchmark_ngrams(bench, "text", n=8)
+    kept = remove_contaminated(corpus, bg, "doc_id", "text", n=8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    # threshold above the overlap keeps everything
+    lax = remove_contaminated(
+        corpus, bg, "doc_id", "text", n=8, max_overlap_frac=0.5
+    )
+    assert lax.count() == 3
+
+
+def test_benchmark_ngrams_distinct_across_docs(spark):
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    assert benchmark_ngrams(bench, "text", n=8).count() == 1
+
+
+def test_contamination_counts_distinct_doc_grams_once(spark):
+    # the same contaminated 8-gram repeated in one doc counts once
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f g h")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h a b c d e f g h")], "doc_id long, text string"
+    )
+    bg = benchmark_ngrams(bench, "text", n=8)
+    rep = _by_id(contamination_report(corpus, bg, "doc_id", "text", n=8))
+    assert rep[1]["overlap_grams"] == 1
