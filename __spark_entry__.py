@@ -2336,6 +2336,75 @@ def _line_dedup_sql() -> str:
     ).replace("{TOKENS}", _SQL_TOKENS)
 
 
+# ------------------------------------------------------ expectations (r5)
+def q_expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative table-expectations suite — 10 rules, ONE aggregation
+    pass (dbt-tests / Great-Expectations shape). Two rules fail by
+    construction — the planted mean bound (mean n_chars ≤ 10) and the
+    accepted-values rule (the lang column has a long tail beyond
+    en/de/es/fr) — so the report carries both verdict polarities."""
+    from fairtracks_validator_spark.operators import expectations as X
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        X.row_count(lo=1),
+        X.null_rate("text", 0.05),
+        X.min_value("n_chars", lo=1),
+        X.max_value("n_chars", hi=100000),
+        X.mean_value("n_chars", lo=1, hi=10000),
+        X.quantile_value("n_chars", 0.5, lo=1, hi=10000),
+        X.accepted_values("lang", DOC_LANGS, min_rate=1.0),
+        X.match_rate("lang", "[a-z]{2}", min_rate=1.0),
+        X.distinct_count("lang", lo=1, hi=10, approx=False),
+        # failing rule under a distinct id (mean:n_chars is already used)
+        X.Rule("mean_low:n_chars", "mean", "n_chars", None, 10.0),
+    ]
+    return X.run_expectations(docs, rules)
+
+
+_EXPECTATIONS_SQL = """
+WITH m AS (
+  SELECT count(*)::DOUBLE AS row_count,
+         avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) AS nr_text,
+         min(n_chars)::DOUBLE AS min_nc,
+         max(n_chars)::DOUBLE AS max_nc,
+         avg(n_chars::DOUBLE) AS mean_nc,
+         quantile_cont(n_chars::DOUBLE, 0.5) AS med_nc,
+         avg(CASE WHEN lang IS NOT NULL THEN
+               CASE WHEN lang IN ('en','de','es','fr') THEN 1.0 ELSE 0.0 END
+             END) AS acc_lang,
+         avg(CASE WHEN lang IS NOT NULL THEN
+               CASE WHEN regexp_full_match(lang, '[a-z]{2}') THEN 1.0 ELSE 0.0 END
+             END) AS mr_lang,
+         count(DISTINCT lang)::DOUBLE AS d_lang
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'row_count' AS rule_id, CAST(NULL AS VARCHAR) AS "column",
+         round(row_count, 6) AS metric, CAST(1.0 AS DOUBLE) AS lo,
+         CAST(NULL AS DOUBLE) AS hi, row_count >= 1.0 AS passed FROM m
+  UNION ALL SELECT 'null_rate:text', 'text', round(nr_text, 6),
+         NULL, CAST(0.05 AS DOUBLE), nr_text <= 0.05 FROM m
+  UNION ALL SELECT 'min:n_chars', 'n_chars', round(min_nc, 6),
+         CAST(1.0 AS DOUBLE), NULL, min_nc >= 1.0 FROM m
+  UNION ALL SELECT 'max:n_chars', 'n_chars', round(max_nc, 6),
+         NULL, CAST(100000.0 AS DOUBLE), max_nc <= 100000.0 FROM m
+  UNION ALL SELECT 'mean:n_chars', 'n_chars', round(mean_nc, 6),
+         CAST(1.0 AS DOUBLE), CAST(10000.0 AS DOUBLE), mean_nc BETWEEN 1.0 AND 10000.0 FROM m
+  UNION ALL SELECT 'q0.5:n_chars', 'n_chars', round(med_nc, 6),
+         CAST(1.0 AS DOUBLE), CAST(10000.0 AS DOUBLE), med_nc BETWEEN 1.0 AND 10000.0 FROM m
+  UNION ALL SELECT 'accepted:lang', 'lang', round(acc_lang, 6),
+         CAST(1.0 AS DOUBLE), NULL, acc_lang >= 1.0 FROM m
+  UNION ALL SELECT 'match:lang', 'lang', round(mr_lang, 6),
+         CAST(1.0 AS DOUBLE), NULL, mr_lang >= 1.0 FROM m
+  UNION ALL SELECT 'distinct:lang', 'lang', round(d_lang, 6),
+         CAST(1.0 AS DOUBLE), CAST(10.0 AS DOUBLE), d_lang BETWEEN 1.0 AND 10.0 FROM m
+  UNION ALL SELECT 'mean_low:n_chars', 'n_chars', round(mean_nc, 6),
+         NULL, CAST(10.0 AS DOUBLE), mean_nc <= 10.0 FROM m
+)
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2392,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_pages_documents": q_warc_pages_documents,
         "decontam_documents": q_decontam_documents,
         "line_dedup_documents": q_line_dedup_documents,
+        "expectations_documents": q_expectations_documents,
     }
 
 
@@ -2452,4 +2522,5 @@ def oracle_sql() -> dict[str, str]:
         "warc_pages_documents": _warc_pages_sql(),
         "decontam_documents": _decontam_sql(),
         "line_dedup_documents": _line_dedup_sql(),
+        "expectations_documents": _EXPECTATIONS_SQL,
     }

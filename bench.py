@@ -82,6 +82,7 @@ HEADLINE = [
     # r5: benchmark decontamination + CCNet-style line dedup
     "decontam_documents",
     "line_dedup_documents",
+    "expectations_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "1000000"))

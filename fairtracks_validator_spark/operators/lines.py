@@ -14,10 +14,12 @@ Spark shape, line-grain but shuffle-lean:
   the line text;
 - only digests with ``count >= min_count`` survive the filter, so the join
   that marks doomed lines carries the (normally small) duplicated-line
-  relation — AQE turns it into a broadcast join when it fits, leaving the
-  corpus side un-shuffled; both plan subtrees hash the same exploded
-  relation by ``h``, so Spark's ReuseExchange collapses them when the
-  planner keys match;
+  relation — AQE turns it into a broadcast join when it fits (observed at
+  bench scale: the corpus side is never exchanged by ``h`` at all, it only
+  re-runs the map-side explode+md5, which is cheap next to a line-grain
+  shuffle); when the dup relation is genuinely huge the join falls back to
+  a digest-keyed shuffle of ``(h, doc_id, pos, line)`` — still never the
+  full corpus twice;
 - reassembly is one ``groupBy(doc_id)`` with an ``array_sort`` on
   ``(pos, line)`` structs — deterministic output independent of
   partitioning, and first-writer selection uses the corpus' total order

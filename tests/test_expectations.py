@@ -1,0 +1,125 @@
+"""Table-expectations suite: N rules, one aggregation pass."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fairtracks_validator_spark.operators import expectations as X
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha", "en", 10),
+            (2, "beta", "en", 20),
+            (3, None, "de", 30),
+            (4, "delta", "xx", 40),
+        ],
+        "id long, text string, lang string, n int",
+    )
+
+
+def _report(spark, rules):
+    return {r["rule_id"]: r.asDict() for r in X.run_expectations(_df(spark), rules).collect()}
+
+
+def test_all_metric_kinds(spark):
+    rep = _report(
+        spark,
+        [
+            X.row_count(lo=4, hi=4),
+            X.null_rate("text", 0.25),
+            X.min_value("n", lo=10),
+            X.max_value("n", hi=40),
+            X.mean_value("n", lo=25, hi=25),
+            X.quantile_value("n", 0.5, lo=25, hi=25),
+            X.accepted_values("lang", ["en", "de"], min_rate=0.75),
+            X.match_rate("lang", "[a-z]{2}", min_rate=1.0),
+            X.distinct_count("lang", lo=3, hi=3, approx=False),
+        ],
+    )
+    assert all(r["passed"] for r in rep.values()), rep
+    assert rep["row_count"]["metric"] == 4.0
+    assert rep["null_rate:text"]["metric"] == 0.25
+    assert rep["mean:n"]["metric"] == 25.0
+    assert rep["q0.5:n"]["metric"] == 25.0
+    assert rep["accepted:lang"]["metric"] == 0.75
+    assert rep["match:lang"]["metric"] == 1.0
+    assert rep["distinct:lang"]["metric"] == 3.0
+
+
+def test_failing_bounds_and_nulls(spark):
+    df = _df(spark).withColumn("never", F.lit(None).cast("double"))
+    rep = {
+        r["rule_id"]: r.asDict()
+        for r in X.run_expectations(
+            df,
+            [
+                X.row_count(lo=100),
+                X.null_rate("text", 0.1),
+                X.accepted_values("lang", ["en"], min_rate=0.9),
+                # all-null column: metric NULL -> failed, never silently passed
+                X.mean_value("never", lo=0),
+            ],
+        ).collect()
+    }
+    assert not any(r["passed"] for r in rep.values())
+    assert rep["mean:never"]["metric"] is None
+
+
+def test_accepted_and_match_ignore_nulls(spark):
+    df = _df(spark).withColumn("lang", F.when(F.col("id") == 1, None).otherwise(F.col("lang")))
+    rep = {
+        r["rule_id"]: r.asDict()
+        for r in X.run_expectations(
+            df, [X.accepted_values("lang", ["en", "de", "xx"], 1.0)]
+        ).collect()
+    }
+    # 3 non-null values, all accepted: rate 1.0 over the non-null base
+    assert rep["accepted:lang"]["metric"] == 1.0 and rep["accepted:lang"]["passed"]
+
+
+def test_single_scan_plan(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    _df(spark).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    rules = [
+        X.row_count(lo=1),
+        X.null_rate("text", 1.0),
+        X.mean_value("n", lo=0),
+        X.quantile_value("n", 0.9),
+        X.match_rate("lang", ".*"),
+        X.distinct_count("lang", approx=True),
+    ]
+    plan = X.run_expectations(df, rules)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_single_scan_even_with_exact_distinct(spark, tmp_path):
+    p = str(tmp_path / "t2.parquet")
+    _df(spark).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    rules = [X.mean_value("n", lo=0), X.distinct_count("lang", approx=False)]
+    plan = X.run_expectations(df, rules)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_violations_bridge_schema(spark):
+    rep = X.run_expectations(_df(spark), [X.row_count(lo=100), X.mean_value("n", lo=0)])
+    v = X.violations(rep)
+    assert v.columns == [
+        "source", "ord", "schema_id", "check_id", "key_str", "reason", "description",
+    ]
+    rows = v.collect()
+    assert len(rows) == 1 and rows[0]["check_id"] == "row_count"
+    assert "not in [100.0, +inf]" in rows[0]["description"]
+
+
+def test_duplicate_and_empty_rules_raise(spark):
+    with pytest.raises(ValueError):
+        X.run_expectations(_df(spark), [])
+    with pytest.raises(ValueError):
+        X.run_expectations(_df(spark), [X.row_count(), X.row_count()])
+    with pytest.raises(ValueError):
+        X.run_expectations(_df(spark), [X.Rule("bogus", "nope", "n")])
