@@ -75,8 +75,47 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--bands", type=int, default=4)
     d.add_argument("--shingle-n", type=int, default=3)
 
+    x = sub.add_parser(
+        "expect",
+        help="table expectations: N declarative rules, ONE aggregation pass",
+    )
+    x.add_argument("--input", required=True, help="parquet path / table")
+    x.add_argument("--rules", required=True,
+                   help="JSON file: list of rule objects "
+                        '({"kind": "null_rate", "column": "text", "hi": 0.05} ...)')
+    x.add_argument("--out", default=None,
+                   help="optional parquet path / table for the report")
+
     args = ap.parse_args(argv)
     spark = get_spark(app_name="ftval-cli")
+
+    if args.cmd == "expect":
+        from .operators.expectations import rules_from_json, run_expectations
+        from .sources.tables import read_table, write_table
+
+        with open(args.rules) as f:
+            rules = rules_from_json(json.load(f))
+        report = run_expectations(read_table(spark, args.input), rules)
+        # the report is one row per rule — collect ONCE, re-wrap for the
+        # optional write so a 100 TB input is never scanned a second time
+        rows = report.collect()
+        if args.out:
+            write_table(
+                spark.createDataFrame(rows, report.schema), args.out,
+                mode="overwrite",
+            )
+        failed = [r for r in rows if not r["passed"]]
+        print(json.dumps({
+            "rules": len(rows),
+            "failed": len(failed),
+            "failures": [
+                {"rule_id": r["rule_id"], "metric": r["metric"],
+                 "lo": r["lo"], "hi": r["hi"]}
+                for r in failed
+            ],
+        }))
+        # exit-code semantics match `validate`: non-zero when anything failed
+        return 1 if failed else 0
 
     if args.cmd == "dedup":
         from .functions.text import quality_score

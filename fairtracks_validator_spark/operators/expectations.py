@@ -97,6 +97,63 @@ def distinct_count(column: str, lo: Optional[float] = None,
                 {"approx": approx})
 
 
+_JSON_PARAM_KEYS = {
+    "quantile": ("q",),
+    "accepted_values": ("values",),
+    "match_rate": ("pattern",),
+    "distinct": ("approx",),
+}
+
+_DEFAULT_ID = {
+    "row_count": lambda d: "row_count",
+    "null_rate": lambda d: f"null_rate:{d['column']}",
+    "min": lambda d: f"min:{d['column']}",
+    "max": lambda d: f"max:{d['column']}",
+    "mean": lambda d: f"mean:{d['column']}",
+    "quantile": lambda d: f"q{d['q']}:{d['column']}",
+    "accepted_values": lambda d: f"accepted:{d['column']}",
+    "match_rate": lambda d: f"match:{d['column']}",
+    "distinct": lambda d: f"distinct:{d['column']}",
+}
+
+
+def rules_from_json(spec: list[dict]) -> list[Rule]:
+    """Build rules from a JSON-friendly spec (the CLI ``expect`` format).
+
+    Each object: ``{"kind": ..., "column": ..., "lo": ..., "hi": ...}``
+    plus kind-specific keys (``q``, ``values``, ``pattern``, ``approx``)
+    and an optional ``rule_id`` override. Unknown keys are an error —
+    a typo'd bound must not silently become an unbounded rule."""
+    rules = []
+    for i, obj in enumerate(spec):
+        d = dict(obj)
+        try:
+            kind = d.pop("kind")
+        except KeyError:
+            raise ValueError(f"rule #{i}: missing 'kind'") from None
+        if kind not in _DEFAULT_ID:
+            raise ValueError(f"rule #{i}: unknown kind {kind!r}")
+        column = d.pop("column", None)
+        if column is None and kind != "row_count":
+            raise ValueError(f"rule #{i} ({kind}): missing 'column'")
+        lo, hi = d.pop("lo", None), d.pop("hi", None)
+        params = {}
+        for k in _JSON_PARAM_KEYS.get(kind, ()):
+            if k in d:
+                params[k] = d.pop(k)
+            elif kind != "distinct":  # approx has a default
+                raise ValueError(f"rule #{i} ({kind}): missing {k!r}")
+        if kind == "distinct":
+            params.setdefault("approx", True)
+        rule_id = d.pop("rule_id", None) or _DEFAULT_ID[kind](
+            {"column": column, **params}
+        )
+        if d:
+            raise ValueError(f"rule #{i} ({kind}): unknown keys {sorted(d)}")
+        rules.append(Rule(rule_id, kind, column, lo, hi, params))
+    return rules
+
+
 # --------------------------------------------------------------- compilation
 def _metric_expr(r: Rule) -> Column:
     c = F.col(r.column) if r.column else None

@@ -123,3 +123,66 @@ def test_duplicate_and_empty_rules_raise(spark):
         X.run_expectations(_df(spark), [X.row_count(), X.row_count()])
     with pytest.raises(ValueError):
         X.run_expectations(_df(spark), [X.Rule("bogus", "nope", "n")])
+
+
+def test_rules_from_json_roundtrip():
+    spec = [
+        {"kind": "row_count", "lo": 1},
+        {"kind": "null_rate", "column": "text", "hi": 0.05},
+        {"kind": "quantile", "column": "n", "q": 0.5, "lo": 1, "hi": 100},
+        {"kind": "accepted_values", "column": "lang", "values": ["en"], "lo": 0.9},
+        {"kind": "match_rate", "column": "lang", "pattern": "[a-z]{2}", "lo": 1.0},
+        {"kind": "distinct", "column": "lang", "lo": 1, "hi": 9},
+        {"kind": "mean", "column": "n", "hi": 10, "rule_id": "mean_low:n"},
+    ]
+    rules = X.rules_from_json(spec)
+    assert [r.rule_id for r in rules] == [
+        "row_count", "null_rate:text", "q0.5:n", "accepted:lang",
+        "match:lang", "distinct:lang", "mean_low:n",
+    ]
+    assert rules[5].params == {"approx": True}
+
+
+def test_rules_from_json_rejects_typos():
+    with pytest.raises(ValueError, match="unknown keys"):
+        X.rules_from_json([{"kind": "mean", "column": "n", "high": 10}])
+    with pytest.raises(ValueError, match="missing 'column'"):
+        X.rules_from_json([{"kind": "mean", "lo": 0}])
+    with pytest.raises(ValueError, match="unknown kind"):
+        X.rules_from_json([{"kind": "median", "column": "n"}])
+    with pytest.raises(ValueError, match="missing 'q'"):
+        X.rules_from_json([{"kind": "quantile", "column": "n"}])
+
+
+def test_cli_expect_subcommand(spark, tmp_path, capsys):
+    import json
+
+    from fairtracks_validator_spark.cli import main
+
+    rules_file = tmp_path / "rules.json"
+    rules_file.write_text(json.dumps([
+        {"kind": "row_count", "lo": 1},
+        {"kind": "null_rate", "column": "text", "hi": 0.05},
+        {"kind": "mean", "column": "n_chars", "lo": 1, "hi": 10000},
+    ]))
+    out = str(tmp_path / "report")
+    rc = main(["expect", "--input", "/root/testdata/sf0.001/documents.parquet",
+               "--rules", str(rules_file), "--out", out])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload == {"rules": 3, "failed": 0, "failures": []}
+    rep = spark.read.parquet(out)
+    assert rep.count() == 3 and set(rep.columns) == {
+        "rule_id", "column", "metric", "lo", "hi", "passed",
+    }
+
+    # failing bound -> exit code 1 + failure detail
+    rules_file.write_text(json.dumps([
+        {"kind": "mean", "column": "n_chars", "hi": 10},
+    ]))
+    rc = main(["expect", "--input", "/root/testdata/sf0.001/documents.parquet",
+               "--rules", str(rules_file)])
+    assert rc == 1
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["failed"] == 1
+    assert payload["failures"][0]["rule_id"] == "mean:n_chars"
