@@ -61,6 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sample-rate", type=float, default=1.0)
     p.add_argument("--val-frac", type=float, default=0.1)
     p.add_argument("--seed", default="pipe")
+    p.add_argument("--line-dedup-min-count", type=int, default=None,
+                   help="strip corpus-wide duplicated lines (first-writer "
+                        "keep) before the quality gate; off by default")
 
     d = sub.add_parser(
         "dedup",
@@ -228,6 +231,7 @@ def main(argv: list[str] | None = None) -> int:
             sample_rate=args.sample_rate,
             val_frac=args.val_frac,
             seed=args.seed,
+            line_dedup_min_count=args.line_dedup_min_count,
         )
         write_table(out, args.out, mode="overwrite")
         from .sources.tables import is_catalog_table

@@ -51,16 +51,18 @@ def line_dedup(
     """Drop corpus-wide duplicated lines from an ``array<string>`` column.
 
     Returns one row per input document:
-    ``(doc_id, lines_kept array<string>, n_lines, n_kept, n_dropped)``.
-    ``keep='first'`` retains the single earliest copy (by ``(doc_id, pos)``
-    total order); ``keep='none'`` drops every copy. ``normalize`` maps a
-    line Column to its dedup key form (default ``trim``); normalized-empty
-    lines are exempt from dedup."""
+    ``(<id_col>, lines_kept array<string>, n_lines, n_kept, n_dropped)`` —
+    the id keeps its input name and type (string url keys work; the
+    first-writer order is then lexicographic, still a deterministic total
+    order). ``keep='first'`` retains the single earliest copy (by
+    ``(id, pos)`` order); ``keep='none'`` drops every copy. ``normalize``
+    maps a line Column to its dedup key form (default ``trim``);
+    normalized-empty lines are exempt from dedup."""
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     norm = normalize or F.trim
     ex = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("_ld_id"),
         F.posexplode_outer(F.col(lines_col)).alias("pos", "line"),
     ).withColumn(
         "h",
@@ -71,7 +73,7 @@ def line_dedup(
         .groupBy("h")
         .agg(
             F.count(F.lit(1)).alias("_n"),
-            F.min(F.struct("doc_id", "pos")).alias("_fw"),
+            F.min(F.struct(F.col("_ld_id").alias("i"), "pos")).alias("_fw"),
         )
         .where(F.col("_n") >= min_count)
         .select("h", "_fw")
@@ -79,7 +81,9 @@ def line_dedup(
     j = ex.join(dups, "h", "left")
     survives = F.col("_fw").isNull()
     if keep == "first":
-        survives = survives | (F.struct("doc_id", "pos") == F.col("_fw"))
+        survives = survives | (
+            F.struct(F.col("_ld_id").alias("i"), "pos") == F.col("_fw")
+        )
     item = F.when(
         F.col("line").isNotNull(),
         F.struct(
@@ -89,17 +93,17 @@ def line_dedup(
         ),
     )
     return (
-        j.groupBy("doc_id")
+        j.groupBy("_ld_id")
         .agg(F.array_sort(F.collect_list(item)).alias("_items"))
         .select(
-            "doc_id",
+            F.col("_ld_id").alias(id_col),
             F.transform(
                 F.filter("_items", lambda s: s["keep"]), lambda s: s["line"]
             ).alias("lines_kept"),
             F.size("_items").alias("n_lines"),
         )
         .select(
-            "doc_id",
+            id_col,
             "lines_kept",
             "n_lines",
             F.size("lines_kept").alias("n_kept"),
@@ -119,7 +123,7 @@ def dedup_lines_text(
     """Text-level convenience: split ``text_col`` on ``sep``, run
     :func:`line_dedup`, and reassemble the surviving lines.
 
-    Returns ``(doc_id, text, n_lines, n_kept, n_dropped)`` — ``text`` is
+    Returns ``(<id_col>, text, n_lines, n_kept, n_dropped)`` — ``text`` is
     the deduplicated document (empty string when every line was dropped)."""
     lines = df.select(
         F.col(id_col),
@@ -127,7 +131,7 @@ def dedup_lines_text(
     )
     out = line_dedup(lines, id_col, "_lines", min_count=min_count, keep=keep)
     return out.select(
-        "doc_id",
+        id_col,
         F.concat_ws(sep, "lines_kept").alias("text"),
         "n_lines",
         "n_kept",

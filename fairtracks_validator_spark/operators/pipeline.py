@@ -34,6 +34,8 @@ def prepare_training_corpus(
     val_frac: float = 0.2,
     seed: str = "pipe",
     min_stop_hits: int = 2,
+    line_dedup_min_count: int | None = None,
+    line_sep: str = "\n",
 ) -> DataFrame:
     """Filter → dedup → sample → split; returns surviving rows with a
     ``split`` column. Deterministic end-to-end: re-runs, resumes, and
@@ -42,7 +44,27 @@ def prepare_training_corpus(
     ``min_stop_hits``: the Gopher stopword-presence rule. Set 0 for
     corpora whose language profile isn't covered by the stopword tables
     (e.g. the synthetic pages vocabulary) — otherwise the gate rejects
-    every document and the pipeline runs on nothing."""
+    every document and the pipeline runs on nothing.
+
+    ``line_dedup_min_count``: when set, corpus-wide duplicated-line
+    removal (:func:`..operators.lines.dedup_lines_text`, first-writer
+    keep) rewrites ``text_col`` BEFORE the quality gate — boilerplate
+    stripped this way both changes the gate metrics and shrinks what the
+    doc-level dedup hashes. Costs the line-grain digest aggregation plus
+    an id-keyed rejoin of the rebuilt text, on top of the pipeline's one
+    shuffle — leave ``None`` to keep the single-shuffle plan."""
+    if line_dedup_min_count is not None:
+        from .lines import dedup_lines_text
+
+        rebuilt = dedup_lines_text(
+            df, id_col, text_col,
+            sep=line_sep, min_count=line_dedup_min_count, keep="first",
+        ).select(id_col, F.col("text").alias("_ld_text"))
+        df = (
+            df.drop(text_col)
+            .join(rebuilt, id_col)
+            .withColumnRenamed("_ld_text", text_col)
+        )
     passed = df.where(
         gopher_pass(
             gopher_metrics(F.col(text_col)),

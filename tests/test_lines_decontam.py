@@ -168,3 +168,49 @@ def test_contamination_counts_distinct_doc_grams_once(spark):
     bg = benchmark_ngrams(bench, "text", n=8)
     rep = _by_id(contamination_report(corpus, bg, "doc_id", "text", n=8))
     assert rep[1]["overlap_grams"] == 1
+
+
+def test_line_dedup_preserves_string_id_type(spark):
+    df = spark.createDataFrame(
+        [("https://a.example/x", ["nav", "one"]), ("https://b.example/y", ["nav", "two"])],
+        "url string, lines array<string>",
+    )
+    out = line_dedup(df, "url", "lines", keep="first")
+    assert dict(out.dtypes)["url"] == "string"
+    rows = {r["url"]: r["lines_kept"] for r in out.collect()}
+    # lexicographic first-writer: https://a... keeps the shared line
+    assert rows["https://a.example/x"] == ["nav", "one"]
+    assert rows["https://b.example/y"] == ["two"]
+
+
+def test_pipeline_line_dedup_stage(spark):
+    from fairtracks_validator_spark.operators.pipeline import prepare_training_corpus
+
+    boiler = "cookie banner accept all terms now please thanks"
+    body_a = " ".join(f"worda{i}" for i in range(30))
+    body_b = " ".join(f"wordb{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, boiler + "\n" + body_a, "en"),
+            (2, boiler + "\n" + body_b, "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = prepare_training_corpus(
+        df, "doc_id", "text", min_words=25, sample_rate=1.0, val_frac=0.0,
+        min_stop_hits=0, line_dedup_min_count=2,
+    )
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # doc 1 is first writer and keeps the boilerplate; doc 2 loses it
+    assert rows[1]["text"] == boiler + "\n" + body_a
+    assert rows[2]["text"] == body_b
+    # non-text columns survive the rejoin
+    assert rows[2]["lang"] == "en"
+    # default path (no line dedup) leaves text untouched
+    out2 = prepare_training_corpus(
+        df, "doc_id", "text", min_words=25, sample_rate=1.0, val_frac=0.0,
+        min_stop_hits=0,
+    )
+    assert {r["text"] for r in out2.collect()} == {
+        boiler + "\n" + body_a, boiler + "\n" + body_b,
+    }
