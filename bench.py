@@ -213,6 +213,9 @@ def main():
     # the two samples, and the artifact says so instead of recording phantom
     # regressions (all three r4 "regressions" were host contention).
     cpu_rate_before = _burn()
+    # multi-core sentinel: sampled BEFORE Spark exists, so anything already
+    # on the run queue is a co-running process (see note at the end)
+    load1_start = os.getloadavg()[0]
     spark = get_spark(app_name="ftval-bench")
 
     qs = entrymod.queries()
@@ -257,6 +260,13 @@ def main():
     contention = min(cpu_rate_before, cpu_rate_after) / max(
         cpu_rate_before, cpu_rate_after
     )
+    # the single-thread probe misses MULTI-CORE contention (a concurrent
+    # 8-core JVM steals a quarter of the box without moving one thread's
+    # busy-loop rate — observed r5: pages probe 0.5 s quiet vs 3.9 s under
+    # a parallel pytest run, probe ratio still 0.98). Load average at START
+    # catches co-running work directly.
+    cpus = os.cpu_count() or 1
+    loaded = load1_start > max(2.0, 0.1 * cpus)
 
     total = round(sum(times.values()), 3)
     print(
@@ -276,7 +286,8 @@ def main():
                 # after the run; ratio < 0.85 means the host was busy while
                 # timing and the walls above are suspect — re-run on quiet.
                 "cpu_probe_ratio": round(contention, 3),
-                "contended": contention < 0.85,
+                "load1_start": round(load1_start, 2),
+                "contended": contention < 0.85 or loaded,
             }
         )
     )
