@@ -85,7 +85,12 @@ HEADLINE = [
     "expectations_documents",
 ]
 
-PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "1000000"))
+PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))
+# the prep pipeline is ~10x more CPU per doc (tokenization + HOF metrics);
+# it keeps its own smaller fixture so the probe stays a probe
+PREP_BENCH_ROWS = int(
+    os.environ.get("SPARK_GRAFT_PREP_ROWS", str(PAGES_BENCH_ROWS // 4))
+)
 
 
 def _pages_throughput(spark) -> tuple[float, float]:
@@ -128,7 +133,7 @@ def _pages_prep_throughput(spark) -> tuple[float, float]:
     )
     from fairtracks_validator_spark.sources.pages import pages
 
-    df = pages(spark, PAGES_BENCH_ROWS)
+    df = pages(spark, PREP_BENCH_ROWS)
     best = None
     for _ in range(3):
         t0 = time.time()
@@ -139,7 +144,7 @@ def _pages_prep_throughput(spark) -> tuple[float, float]:
         dt = time.time() - t0
         if best is None or dt < best:
             best = dt
-    return best, PAGES_BENCH_ROWS / best
+    return best, PREP_BENCH_ROWS / best
 
 
 def _burn(n: int = 20_000_000) -> float:
@@ -168,7 +173,10 @@ def _stream_validate_throughput(spark) -> tuple[float, float]:
 
     from pyspark.sql import functions as F
 
-    rows = max(PAGES_BENCH_ROWS // 5, 10_000)
+    # fixed 200k: the incremental path runs ~15x slower than batch by
+    # design (micro-batch scheduling), so this probe must not scale with
+    # the batch probe's fixture
+    rows = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
     scratch = os.path.join(REPO_DIR, ".data")
     os.makedirs(scratch, exist_ok=True)
     work = tempfile.mkdtemp(prefix="ftval-stream-bench-", dir=scratch)

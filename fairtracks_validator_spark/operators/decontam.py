@@ -54,10 +54,11 @@ def contamination_report(
 ) -> DataFrame:
     """Per-document overlap with the benchmark gram set.
 
-    Returns ``(doc_id, n_grams, overlap_grams, overlap_frac)`` for every
+    Returns ``(<id_col>, n_grams, overlap_grams, overlap_frac)`` for every
     document sharing at least one n-gram with the benchmark — clean
     documents (the overwhelming majority at scale) produce no row and no
-    shuffled bytes. ``n_grams`` counts the document's DISTINCT n-grams, so
+    shuffled bytes. The id keeps its input name and type (string url keys
+    work). ``n_grams`` counts the document's DISTINCT n-grams, so
     ``overlap_frac`` is set containment of the doc's gram set in the
     benchmark's.
 
@@ -65,18 +66,18 @@ def contamination_report(
     ``n``; it is broadcast (decontamination is only meaningful when the
     eval set is dwarfed by the training corpus)."""
     grams = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("_dc_id"),
         let_(
             word_ngrams(text_col, n),
             lambda g: F.struct(F.size(g).alias("n"), g.alias("arr")),
         ).alias("_g"),
-    ).select("doc_id", F.col("_g.n").alias("n_grams"), F.explode("_g.arr").alias("gram"))
+    ).select("_dc_id", F.col("_g.n").alias("n_grams"), F.explode("_g.arr").alias("gram"))
     return (
         grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy("doc_id", "n_grams")
+        .groupBy("_dc_id", "n_grams")
         .agg(F.count(F.lit(1)).alias("overlap_grams"))
         .select(
-            "doc_id",
+            F.col("_dc_id").alias(id_col),
             "n_grams",
             "overlap_grams",
             F.round(F.col("overlap_grams") / F.col("n_grams"), 6).alias("overlap_frac"),
@@ -101,10 +102,10 @@ def remove_contaminated(
     flagged = (
         contamination_report(docs, bench_grams, id_col, text_col, n)
         .where(F.col("overlap_frac") > max_overlap_frac)
-        .select(F.col("doc_id").alias("_flagged_id"))
+        .select(F.col(id_col).alias("_flagged_id"))
     )
     return docs.join(
         F.broadcast(flagged),
-        F.col(id_col).cast("long") == F.col("_flagged_id"),
+        F.col(id_col) == F.col("_flagged_id"),
         "left_anti",
     )

@@ -214,3 +214,21 @@ def test_pipeline_line_dedup_stage(spark):
     assert {r["text"] for r in out2.collect()} == {
         boiler + "\n" + body_a, boiler + "\n" + body_b,
     }
+
+
+def test_decontam_preserves_string_id_type(spark):
+    bench = spark.createDataFrame(
+        [("b1", "alpha beta gamma delta epsilon zeta eta theta")],
+        "url string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [("https://x/1", "pad alpha beta gamma delta epsilon zeta eta theta"),
+         ("https://x/2", "unrelated words only here nothing shared at all")],
+        "url string, text string",
+    )
+    bg = benchmark_ngrams(bench, "text", n=8)
+    rep = contamination_report(corpus, bg, "url", "text", n=8)
+    assert dict(rep.dtypes)["url"] == "string"
+    assert [r["url"] for r in rep.collect()] == ["https://x/1"]
+    kept = remove_contaminated(corpus, bg, "url", "text", n=8)
+    assert [r["url"] for r in kept.collect()] == ["https://x/2"]
