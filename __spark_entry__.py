@@ -2405,6 +2405,45 @@ SELECT * FROM (
 """
 
 
+# ------------------------------------------------- multi-histogram (r5)
+def q_multi_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histograms of two numeric columns in ONE scan (the `profile`
+    subcommand's baseline shape): value on [0,500)x20 and user_id on
+    [0,50000)x10, emitted from a single explode + aggregation."""
+    from fairtracks_validator_spark.operators.stats import multi_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return multi_histogram(
+        ev, [("value", 0.0, 500.0, 20), ("user_id", 0.0, 50000.0, 10)]
+    )
+
+
+def _multi_histogram_sql() -> str:
+    def cell(col: str, lo: float, hi: float, b: int) -> str:
+        width = (hi - lo) / b
+        return f"""
+  SELECT '{col}' AS "column", CAST({lo} AS DOUBLE) AS lo,
+         CAST({hi} AS DOUBLE) AS hi, {b} AS buckets,
+         CASE WHEN v < {lo} THEN 0
+              WHEN v >= {hi} THEN {b + 1}
+              ELSE CAST(floor((v - {lo}) / {hi - lo} * {b}) + 1 AS INT)
+         END AS bucket
+  FROM (SELECT CAST({col} AS DOUBLE) AS v FROM events WHERE {col} IS NOT NULL)
+"""
+    cells = " UNION ALL ".join(
+        [cell("value", 0.0, 500.0, 20), cell("user_id", 0.0, 50000.0, 10)]
+    )
+    return f"""
+WITH cells AS ({cells})
+SELECT "column", lo, hi, buckets, bucket,
+       round(lo + (bucket - 1) * (hi - lo) / buckets, 6) AS lo_edge,
+       round(lo + bucket * (hi - lo) / buckets, 6) AS hi_edge,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM cells
+GROUP BY "column", lo, hi, buckets, bucket
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2462,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_documents": q_decontam_documents,
         "line_dedup_documents": q_line_dedup_documents,
         "expectations_documents": q_expectations_documents,
+        "multi_histogram_events": q_multi_histogram_events,
     }
 
 
@@ -2523,4 +2563,5 @@ def oracle_sql() -> dict[str, str]:
         "decontam_documents": _decontam_sql(),
         "line_dedup_documents": _line_dedup_sql(),
         "expectations_documents": _EXPECTATIONS_SQL,
+        "multi_histogram_events": _multi_histogram_sql(),
     }

@@ -83,6 +83,7 @@ HEADLINE = [
     "decontam_documents",
     "line_dedup_documents",
     "expectations_documents",
+    "multi_histogram_events",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))
@@ -161,6 +162,33 @@ def _pages_prep_throughput(spark) -> tuple[float, float]:
     return best, PREP_BENCH_ROWS / best
 
 
+def _procs_running(samples: int = 10, interval: float = 0.2) -> int | None:
+    """Peak count of runnable threads machine-wide (excluding this one)
+    over a ~2 s window, from /proc/stat. A single instantaneous sample
+    reads low between a co-runner's stages, so take the max of several.
+    None when the platform has no procfs."""
+
+    def one() -> int | None:
+        try:
+            with open("/proc/stat") as f:
+                for line in f:
+                    if line.startswith("procs_running"):
+                        return max(0, int(line.split()[1]) - 1)
+        except OSError:
+            pass
+        return None
+
+    vals = []
+    for i in range(samples):
+        v = one()
+        if v is None:
+            return None
+        vals.append(v)
+        if i + 1 < samples:
+            time.sleep(interval)
+    return max(vals)
+
+
 def _burn(n: int = 20_000_000) -> float:
     """Single-thread busy-loop rate (iterations/sec) — the contention probe."""
     t0 = time.time()
@@ -236,8 +264,9 @@ def main():
     # regressions (all three r4 "regressions" were host contention).
     cpu_rate_before = _burn()
     # multi-core sentinel: sampled BEFORE Spark exists, so anything already
-    # on the run queue is a co-running process (see note at the end)
+    # running is a co-running process (see note at the end)
     load1_start = os.getloadavg()[0]
+    procs_running = _procs_running()
     spark = get_spark(app_name="ftval-bench")
 
     qs = entrymod.queries()
@@ -285,10 +314,12 @@ def main():
     # the single-thread probe misses MULTI-CORE contention (a concurrent
     # 8-core JVM steals a quarter of the box without moving one thread's
     # busy-loop rate — observed r5: pages probe 0.5 s quiet vs 3.9 s under
-    # a parallel pytest run, probe ratio still 0.98). Load average at START
-    # catches co-running work directly.
-    cpus = os.cpu_count() or 1
-    loaded = load1_start > max(2.0, 0.1 * cpus)
+    # a parallel pytest run, probe ratio still 0.98). procs_running from
+    # /proc/stat at START is INSTANTANEOUS — unlike load average, whose
+    # multi-minute decay tail from recently-finished work false-positives
+    # on a genuinely idle box (observed: load1 6.2, zero co-runners).
+    # > 3 allows self + interpreter threads + scheduler noise.
+    loaded = procs_running is not None and procs_running > 3
 
     total = round(sum(times.values()), 3)
     print(
@@ -319,6 +350,7 @@ def main():
                 # timing and the walls above are suspect — re-run on quiet.
                 "cpu_probe_ratio": round(contention, 3),
                 "load1_start": round(load1_start, 2),
+                "procs_running_start": procs_running,
                 "contended": contention < 0.85 or loaded,
             }
         )

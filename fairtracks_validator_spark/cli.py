@@ -28,6 +28,150 @@ from .session import get_spark
 from .sources.dims import NAMESPACES_SNAPSHOT, namespace_mir_ids
 
 
+def _numeric_cols(df, columns: list[str]) -> list[str]:
+    from pyspark.sql import types as T
+
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType)
+    kinds = {f.name: f.dataType for f in df.schema.fields}
+    return [c for c in columns if isinstance(kinds.get(c), numeric)]
+
+
+def _cmd_profile(spark, args) -> int:
+    """Write a drift baseline: column profiles + one-scan histograms.
+
+    Two scans total regardless of column count: the profile aggregation
+    (which also yields the numeric min/max that size the histogram grids)
+    and the multi-column histogram aggregation."""
+    import os as _os
+
+    from .operators.stats import column_profile, multi_histogram
+    from .sources.tables import read_table, write_table
+
+    df = read_table(spark, args.input)
+    cols = args.columns.split(",") if args.columns else df.columns
+    prof = column_profile(df, cols)
+    prof_rows = prof.collect()
+    write_table(
+        spark.createDataFrame(prof_rows, prof.schema),
+        _os.path.join(args.out, "profile.parquet"), mode="overwrite",
+    )
+    by_col = {r["column"]: r for r in prof_rows}
+    specs = []
+    for c in _numeric_cols(df, cols):
+        r = by_col[c]
+        if r["min_str"] is None or r["max_str"] is None:
+            continue
+        lo, hi = float(r["min_str"]), float(r["max_str"])
+        if not hi > lo:
+            hi = lo + 1.0  # constant column still gets a (degenerate) grid
+        specs.append((c, lo, hi, args.buckets))
+    n_hist = 0
+    if specs:
+        hist = multi_histogram(df, specs)
+        hist_rows = hist.collect()
+        n_hist = len({r["column"] for r in hist_rows})
+        write_table(
+            spark.createDataFrame(hist_rows, hist.schema),
+            _os.path.join(args.out, "histograms.parquet"), mode="overwrite",
+        )
+    print(json.dumps({"columns": len(cols), "histogram_columns": n_hist,
+                      "baseline": args.out}))
+    return 0
+
+
+def _psi_from_cells(base: dict[int, int], cur: dict[int, int],
+                    buckets: int, eps: float = 1e-6) -> float:
+    """PSI over the completed bucket grid 0..buckets+1 — driver-side math
+    on two ALREADY-AGGREGATED cell maps (≤ buckets+2 entries each), same
+    smoothing contract as operators.stats.psi."""
+    import math
+
+    n_b = sum(base.values()) or 1
+    n_c = sum(cur.values()) or 1
+    val = 0.0
+    for b in range(0, buckets + 2):
+        p = max(base.get(b, 0) / n_b, eps)
+        q = max(cur.get(b, 0) / n_c, eps)
+        val += (q - p) * math.log(q / p)
+    return round(val, 6)
+
+
+def _cmd_drift(spark, args) -> int:
+    """Drift report vs a stored baseline. Two scans of the current table
+    (profile + histograms on the BASELINE's bucket grids); everything else
+    is driver-side arithmetic over aggregate rows."""
+    import os as _os
+
+    from .operators.stats import column_profile, multi_histogram
+    from .sources.tables import read_table, write_table
+
+    base_prof = {
+        r["column"]: r
+        for r in spark.read.parquet(
+            _os.path.join(args.baseline, "profile.parquet")
+        ).collect()
+    }
+    hist_path = _os.path.join(args.baseline, "histograms.parquet")
+    base_hist_rows = (
+        spark.read.parquet(hist_path).collect()
+        if _os.path.exists(hist_path) else []
+    )
+    base_cells: dict[str, dict[int, int]] = {}
+    base_specs: dict[str, tuple[float, float, int]] = {}
+    for r in base_hist_rows:
+        base_cells.setdefault(r["column"], {})[r["bucket"]] = r["n"]
+        base_specs[r["column"]] = (r["lo"], r["hi"], r["buckets"])
+
+    df = read_table(spark, args.input)
+    cols = [c for c in base_prof if c in df.columns]
+    dropped = sorted(set(base_prof) - set(cols))
+    cur_prof = {r["column"]: r for r in column_profile(df, cols).collect()}
+    specs = [
+        (c, *base_specs[c]) for c in cols
+        if c in base_specs  # SAME grid as the baseline, by construction
+    ]
+    cur_cells: dict[str, dict[int, int]] = {}
+    if specs:
+        for r in multi_histogram(df, specs).collect():
+            cur_cells.setdefault(r["column"], {})[r["bucket"]] = r["n"]
+
+    report = []
+    for c in cols:
+        b, cur = base_prof[c], cur_prof[c]
+        delta = round(abs(cur["null_rate"] - b["null_rate"]), 6)
+        report.append((c, "null_rate_delta", float(b["null_rate"]),
+                       float(cur["null_rate"]), delta,
+                       delta > args.null_rate_delta))
+        if b["n_distinct"] and cur["n_distinct"]:
+            ratio = round(
+                max(cur["n_distinct"] / b["n_distinct"],
+                    b["n_distinct"] / cur["n_distinct"]), 6)
+            report.append((c, "distinct_ratio", float(b["n_distinct"]),
+                           float(cur["n_distinct"]), ratio,
+                           ratio > args.distinct_ratio))
+        if c in base_specs:
+            buckets = base_specs[c][2]
+            val = _psi_from_cells(base_cells.get(c, {}),
+                                  cur_cells.get(c, {}), buckets)
+            report.append((c, "psi", None, None, val,
+                           val >= args.psi_threshold))
+    rep_df = spark.createDataFrame(
+        report,
+        "column string, metric string, baseline double, current double, "
+        "value double, flagged boolean",
+    )
+    if args.out:
+        write_table(rep_df, args.out, mode="overwrite")
+    flagged = [
+        {"column": c, "metric": m, "value": v}
+        for (c, m, _b, _cu, v, fl) in report if fl
+    ]
+    print(json.dumps({"columns": len(cols), "metrics": len(report),
+                      "flagged": flagged, "missing_columns": dropped}))
+    return 1 if flagged or dropped else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fairtracks_validator_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -88,14 +232,67 @@ def main(argv: list[str] | None = None) -> int:
                         '({"kind": "null_rate", "column": "text", "hi": 0.05} ...)')
     x.add_argument("--out", default=None,
                    help="optional parquet path / table for the report")
+    x.add_argument("--suggest", action="store_true",
+                   help="profile the input and WRITE a suggested rule set "
+                        "to --rules (two aggregation passes) instead of "
+                        "evaluating one")
+    x.add_argument("--columns", default=None,
+                   help="comma-separated column subset for --suggest")
+
+    pr = sub.add_parser(
+        "profile",
+        help="column profiles + per-column histograms -> a drift baseline",
+    )
+    pr.add_argument("--input", required=True, help="parquet path / table")
+    pr.add_argument("--out", required=True,
+                    help="baseline dir (profile.parquet + histograms.parquet)")
+    pr.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all columns)")
+    pr.add_argument("--buckets", type=int, default=20)
+
+    dr = sub.add_parser(
+        "drift",
+        help="compare a table against a stored `profile` baseline "
+             "(null-rate delta, distinct ratio, per-column PSI)",
+    )
+    dr.add_argument("--input", required=True, help="parquet path / table")
+    dr.add_argument("--baseline", required=True,
+                    help="dir written by the profile subcommand")
+    dr.add_argument("--out", default=None,
+                    help="optional parquet path / table for the report")
+    dr.add_argument("--psi-threshold", type=float, default=0.25,
+                    help="flag columns at/above this PSI (0.25 = major)")
+    dr.add_argument("--null-rate-delta", type=float, default=0.05)
+    dr.add_argument("--distinct-ratio", type=float, default=2.0,
+                    help="flag when distinct count grows/shrinks by this factor")
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name="ftval-cli")
 
+    if args.cmd == "profile":
+        return _cmd_profile(spark, args)
+    if args.cmd == "drift":
+        return _cmd_drift(spark, args)
+
     if args.cmd == "expect":
-        from .operators.expectations import rules_from_json, run_expectations
+        from .operators.expectations import (
+            rules_from_json,
+            rules_to_json,
+            run_expectations,
+            suggest_rules,
+        )
         from .sources.tables import read_table, write_table
 
+        if args.suggest:
+            cols = args.columns.split(",") if args.columns else None
+            spec = rules_to_json(
+                suggest_rules(read_table(spark, args.input), columns=cols)
+            )
+            with open(args.rules, "w") as f:
+                json.dump(spec, f, indent=1)
+            print(json.dumps({"suggested": len(spec),
+                              "rules_file": args.rules}))
+            return 0
         with open(args.rules) as f:
             rules = rules_from_json(json.load(f))
         report = run_expectations(read_table(spark, args.input), rules)

@@ -224,6 +224,109 @@ def run_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     return agg.select(F.explode(items).alias("r")).select("r.*")
 
 
+def suggest_rules(
+    df: DataFrame,
+    columns: Optional[list[str]] = None,
+    row_slack: float = 0.5,
+    null_slack: float = 0.02,
+    range_slack: float = 0.25,
+    max_categories: int = 32,
+) -> list[Rule]:
+    """Profile ``df`` and propose a rule set (Deequ's constraint-suggestion
+    shape — public AWS-labs project). TWO passes total, independent of
+    column count:
+
+    1. one aggregation computing per-column null rate / min / max /
+       approx-distinct plus the row count;
+    2. one aggregation collecting the (sorted, truncated) value set of
+       every low-cardinality string column — candidates only, skipped
+       entirely when none qualify.
+
+    The suggested bounds encode the observed table plus slack: row count
+    within ``±row_slack``, null rate at most observed ``+ null_slack``,
+    numeric min/max widened by ``range_slack`` of the observed span,
+    categorical columns pinned to their observed value set (when it fits
+    ``max_categories``) at the observed in-set rate. Suggestions are a
+    starting point — review before gating a pipeline on them."""
+    from pyspark.sql import types as T
+
+    if columns is None:
+        columns = df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in columns if c not in fields]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    numeric = tuple(
+        getattr(T, n)
+        for n in ("ByteType", "ShortType", "IntegerType", "LongType",
+                  "FloatType", "DoubleType", "DecimalType")
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"nr__{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"nd__{c}"))
+        if isinstance(fields[c], numeric):
+            aggs.append(F.min(c).cast("double").alias(f"mn__{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx__{c}"))
+    prof = df.agg(*aggs).first()
+
+    n = prof["__n"]
+    rules = [
+        row_count(lo=max(0.0, round(n * (1 - row_slack))),
+                  hi=round(n * (1 + row_slack)))
+    ]
+    cat_candidates = [
+        c for c in columns
+        if isinstance(fields[c], T.StringType)
+        and 0 < prof[f"nd__{c}"] <= max_categories
+    ]
+    cat_values: dict[str, list] = {}
+    if cat_candidates:
+        sets = df.agg(
+            *[
+                # truncated at max_categories+1: an approx-count under-
+                # estimate must surface as "doesn't fit" not a silent clip
+                F.slice(
+                    F.sort_array(F.collect_set(c)), 1, max_categories + 1
+                ).alias(f"vs__{c}")
+                for c in cat_candidates
+            ]
+        ).first()
+        for c in cat_candidates:
+            vals = sets[f"vs__{c}"]
+            if 0 < len(vals) <= max_categories:
+                cat_values[c] = vals
+    for c in columns:
+        rate = prof[f"nr__{c}"]
+        if rate is not None:
+            rules.append(null_rate(c, min(1.0, round(rate + null_slack, 6))))
+        if isinstance(fields[c], numeric):
+            mn, mx = prof[f"mn__{c}"], prof[f"mx__{c}"]
+            if mn is not None and mx is not None:
+                pad = range_slack * (mx - mn)
+                rules.append(min_value(c, lo=round(mn - pad, 6)))
+                rules.append(max_value(c, hi=round(mx + pad, 6)))
+        if c in cat_values:
+            rules.append(accepted_values(c, cat_values[c], min_rate=1.0))
+    return rules
+
+
+def rules_to_json(rules: list[Rule]) -> list[dict]:
+    """Inverse of :func:`rules_from_json` — serialize for the CLI format."""
+    out = []
+    for r in rules:
+        d: dict = {"kind": r.kind, "rule_id": r.rule_id}
+        if r.column is not None:
+            d["column"] = r.column
+        if r.lo is not None:
+            d["lo"] = r.lo
+        if r.hi is not None:
+            d["hi"] = r.hi
+        d.update(r.params)
+        out.append(d)
+    return out
+
+
 def violations(report: DataFrame, schema_id: str = "expectations") -> DataFrame:
     """Failing rules in the runner's violation-row schema (see
     ``stats.null_rate_check`` for the column contract)."""

@@ -357,6 +357,53 @@ def cardinality_check(
     )
 
 
+def multi_histogram(
+    df: "DataFrame", specs: list[tuple[str, float, float, int]]
+) -> "DataFrame":
+    """Fixed-width histograms for MANY columns in ONE scan.
+
+    ``specs``: ``[(column, lo, hi, buckets), ...]``. Output one row per
+    non-empty (column, bucket) cell:
+    ``(column, lo, hi, buckets, bucket, lo_edge, hi_edge, n)`` — the spec
+    columns ride along so a later run (drift comparison) can rebuild the
+    identical grid from the stored table alone.
+
+    Shape: each row emits one ``(column, bucket)`` struct per spec via an
+    inline array + explode (map-side, no row duplication cost beyond the
+    ≤ len(specs) structs), then a single map-combined aggregation whose
+    shuffle payload is ≤ Σ(buckets+2) cells per task — N separate
+    :func:`histogram` calls would scan the table N times."""
+    if not specs:
+        raise ValueError("multi_histogram needs at least one spec")
+    entries = []
+    for c, lo, hi, buckets in specs:
+        if not hi > lo:
+            raise ValueError(f"{c}: need hi > lo, got [{lo}, {hi}]")
+        width = (hi - lo) / buckets
+        b = fixed_width_bucket(_src_col(df, c), lo, hi, buckets)
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(float(lo)).alias("lo"),
+                F.lit(float(hi)).alias("hi"),
+                F.lit(int(buckets)).alias("buckets"),
+                b.alias("bucket"),
+                F.round(F.lit(lo) + (b - 1) * F.lit(width), 6).alias("lo_edge"),
+                F.round(F.lit(lo) + b * F.lit(width), 6).alias("hi_edge"),
+            )
+        )
+    return (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .where(F.col("e.bucket").isNotNull())
+        .groupBy(
+            "e.column", "e.lo", "e.hi", "e.buckets",
+            "e.bucket", "e.lo_edge", "e.hi_edge",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("column", "bucket")
+    )
+
+
 def psi_timeseries(
     df: "DataFrame",
     value_col: str,

@@ -225,10 +225,26 @@ def main():
     best_hi = max(rounds, key=lambda p: p[1]["docs_per_sec"])[1]
     rel = min(eff_med / hw_med, 1.0) if hw_med > 0 else 0.0
 
-    p8 = run(n_lo, repeats=3, job=PREP_JOB, n_rows=prep_rows)
-    p32 = run(n_lo * 4, repeats=3, job=PREP_JOB, n_rows=prep_rows)
-    eff_prep = p32["docs_per_sec"] / (4 * p8["docs_per_sec"])
+    # prep gets the SAME interleaved-rounds protocol as validation: a
+    # single (N, 4N) pair swung 1.02 -> 0.74 between r5 sessions purely on
+    # host steal — one pair is not evidence either way
+    prep_rounds = []
+    for _ in range(ROUNDS):
+        lo = run(n_lo, repeats=3, job=PREP_JOB, n_rows=prep_rows)
+        hi = run(n_lo * 4, repeats=3, job=PREP_JOB, n_rows=prep_rows)
+        prep_rounds.append((lo, hi))
+    prep_effs = [
+        hi["docs_per_sec"] / (4 * lo["docs_per_sec"]) for lo, hi in prep_rounds
+    ]
+    eff_prep, eff_prep_lo, eff_prep_hi = _med_spread(prep_effs)
+    p8 = max(prep_rounds, key=lambda p: p[0]["docs_per_sec"])[0]
+    p32 = max(prep_rounds, key=lambda p: p[1]["docs_per_sec"])[1]
 
+    prep_trial_rows = "\n".join(
+        f"| {i + 1} | {lo['wall_s']} | {hi['wall_s']} | "
+        f"{lo['docs_per_sec']:,.0f} | {hi['docs_per_sec']:,.0f} | {e:.3f} |"
+        for i, ((lo, hi), e) in enumerate(zip(prep_rounds, prep_effs))
+    )
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     trial_rows = "\n".join(
         f"| {i + 1} | {lo['wall_s']} | {hi['wall_s']} | "
@@ -291,16 +307,18 @@ Reproduce: `python scripts/bench_scaling.py {N_ROWS}`.
 The one-shuffle training-corpus pipeline (Gopher gate → exact dedup →
 hash sample → split) over a {prep_rows:,}-row pages table (prep is
 ~10× more CPU per doc than validation — tokenization + HOF metrics —
-so it runs at {prep_rows:,} rows; best-of-3):
+so it runs at {prep_rows:,} rows; {ROUNDS} interleaved rounds,
+best-of-3 inside each run, identical protocol to validation above):
 
-| parallelism | rows in | rows out | wall (s) | throughput (docs/s) |
-| --- | --- | --- | --- | --- |
-| local[{p8['cpus']}]  (N)  | {p8['rows']:,} | {p8['rows_out']:,} | {p8['wall_s']} | {p8['docs_per_sec']:,.0f} |
-| local[{p32['cpus']}] (4N) | {p32['rows']:,} | {p32['rows_out']:,} | {p32['wall_s']} | {p32['docs_per_sec']:,.0f} |
+| round | N wall (s) | 4N wall (s) | N docs/s | 4N docs/s | efficiency |
+| --- | --- | --- | --- | --- | --- |
+{prep_trial_rows}
 
-**Prep strong-scaling efficiency N→4N = {eff_prep:.3f}**
+**Prep strong-scaling efficiency N→4N: median {eff_prep:.3f}**
+(spread {eff_prep_lo:.3f}–{eff_prep_hi:.3f})
 {"(meets ≥ 0.8)" if eff_prep >= 0.8 else "(vs the same hardware ceiling above)"} —
-output row counts identical at both levels.
+output row counts identical at both levels; best-of-session
+N = {p8['docs_per_sec']:,.0f} docs/s, 4N = {p32['docs_per_sec']:,.0f} docs/s.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -311,6 +329,7 @@ output row counts identical at both levels.
         "efficiency_median": round(eff_med, 3),
         "hw_ceilings": [round(c, 3) for c in ceilings],
         "prep_efficiency": round(eff_prep, 3),
+        "prep_efficiencies": [round(e, 3) for e in prep_effs],
     }))
 
 

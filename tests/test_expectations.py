@@ -186,3 +186,60 @@ def test_cli_expect_subcommand(spark, tmp_path, capsys):
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["failed"] == 1
     assert payload["failures"][0]["rule_id"] == "mean:n_chars"
+
+
+def test_suggest_rules_shapes(spark):
+    df = _df(spark)
+    rules = X.suggest_rules(df, columns=["text", "lang", "n"])
+    by_id = {r.rule_id: r for r in rules}
+    # row-count band around the observed 4
+    assert by_id["row_count"].lo == 2 and by_id["row_count"].hi == 6
+    # text: 1/4 nulls observed -> ceiling 0.27
+    assert abs(by_id["null_rate:text"].hi - 0.27) < 1e-9
+    # numeric n: [10, 40] widened by 25% of span
+    assert by_id["min:n"].lo == 2.5 and by_id["max:n"].hi == 47.5
+    # lang: low-cardinality string -> pinned value set at rate 1.0
+    assert by_id["accepted:lang"].params["values"] == ["de", "en", "xx"]
+    assert by_id["accepted:lang"].lo == 1.0
+    # suggested rules PASS on the table they were suggested from
+    rep = X.run_expectations(df, rules)
+    assert all(r["passed"] for r in rep.collect())
+
+
+def test_suggest_rules_json_roundtrip(spark):
+    df = _df(spark)
+    rules = X.suggest_rules(df, columns=["lang", "n"])
+    spec = X.rules_to_json(rules)
+    again = X.rules_from_json(spec)
+    assert again == rules
+
+
+def test_suggest_rules_skips_high_cardinality(spark):
+    df = _df(spark).withColumn("uid", F.concat(F.lit("u"), F.col("id")))
+    rules = X.suggest_rules(df, columns=["uid"], max_categories=2)
+    assert not any(r.kind == "accepted_values" for r in rules)
+
+
+def test_suggest_rules_unknown_column(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        X.suggest_rules(_df(spark), columns=["nope"])
+
+
+def test_cli_expect_suggest_roundtrip(spark, tmp_path, capsys):
+    import json
+
+    from fairtracks_validator_spark.cli import main
+
+    rules_file = tmp_path / "suggested.json"
+    rc = main(["expect", "--input", "/root/testdata/sf0.001/documents.parquet",
+               "--rules", str(rules_file), "--suggest",
+               "--columns", "lang,n_chars,text"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["rules_file"] == str(rules_file) and payload["suggested"] >= 4
+    # the suggested set passes against the table it came from
+    rc = main(["expect", "--input", "/root/testdata/sf0.001/documents.parquet",
+               "--rules", str(rules_file)])
+    assert rc == 0
