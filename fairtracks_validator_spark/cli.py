@@ -37,6 +37,51 @@ def _numeric_cols(df, columns: list[str]) -> list[str]:
     return [c for c in columns if isinstance(kinds.get(c), numeric)]
 
 
+def _cmd_decontam(spark, args) -> int:
+    """Benchmark decontamination as a job: flag + drop contaminated docs.
+
+    The kept corpus and (optionally) the contamination report are written;
+    the summary counts reuse the report aggregates, never a second corpus
+    scan beyond the write itself."""
+    from pyspark.sql import functions as F
+
+    from .operators.decontam import benchmark_ngrams, contamination_report
+    from .sources.tables import read_table, write_table
+
+    docs = read_table(spark, args.input)
+    bench = read_table(spark, args.bench)
+    bg = benchmark_ngrams(
+        bench, args.bench_text_col or args.text_col, n=args.ngram
+    )
+    report = contamination_report(
+        docs, bg, args.id_col, args.text_col, n=args.ngram
+    ).persist()
+    try:
+        if args.report:
+            write_table(report, args.report, mode="overwrite")
+        flagged = report.where(
+            F.col("overlap_frac") > args.max_overlap_frac
+        ).select(F.col(args.id_col).alias("_flagged_id"))
+        kept = docs.join(
+            F.broadcast(flagged),
+            F.col(args.id_col) == F.col("_flagged_id"),
+            "left_anti",
+        )
+        write_table(kept, args.out, mode="overwrite")
+        n_overlap = report.count()
+        n_flagged = report.where(
+            F.col("overlap_frac") > args.max_overlap_frac
+        ).count()
+        print(json.dumps({
+            "docs_with_overlap": n_overlap,
+            "dropped": n_flagged,
+            "out": args.out,
+        }))
+    finally:
+        report.unpersist()
+    return 0
+
+
 def _cmd_profile(spark, args) -> int:
     """Write a drift baseline: column profiles + one-scan histograms.
 
@@ -239,6 +284,25 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--columns", default=None,
                    help="comma-separated column subset for --suggest")
 
+    dc = sub.add_parser(
+        "decontam",
+        help="drop documents sharing word n-grams with a benchmark/eval set",
+    )
+    dc.add_argument("--input", required=True, help="parquet path / table")
+    dc.add_argument("--bench", required=True,
+                    help="benchmark/eval corpus (parquet path / table)")
+    dc.add_argument("--out", required=True, help="output parquet path / table")
+    dc.add_argument("--report", default=None,
+                    help="optional parquet path / table for the per-doc "
+                         "contamination report")
+    dc.add_argument("--id-col", default="url")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--bench-text-col", default=None,
+                    help="text column of the benchmark set (default: --text-col)")
+    dc.add_argument("--ngram", type=int, default=8)
+    dc.add_argument("--max-overlap-frac", type=float, default=0.0,
+                    help="0.0 = any shared n-gram disqualifies")
+
     pr = sub.add_parser(
         "profile",
         help="column profiles + per-column histograms -> a drift baseline",
@@ -273,6 +337,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_profile(spark, args)
     if args.cmd == "drift":
         return _cmd_drift(spark, args)
+    if args.cmd == "decontam":
+        return _cmd_decontam(spark, args)
 
     if args.cmd == "expect":
         from .operators.expectations import (

@@ -234,6 +234,43 @@ def validate_stream(
     return writer.start()
 
 
+def expectations_stream(
+    stream_df: DataFrame,
+    rules,
+    out_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Per-micro-batch table expectations — the streaming twin of
+    ``operators.expectations.run_expectations``.
+
+    Each batch's rule report (one row per rule, plus ``batch_id``) appends
+    under ``out_dir/reports/batch_id=<n>`` with overwrite-idempotent
+    directories, same retry discipline as :func:`process_batch`. This is
+    the continuous form of the CI gate: a monitoring job tails the report
+    table and alarms on ``passed = false`` rows — per BATCH verdicts (a
+    rule like ``row_count`` means "per micro-batch" here, not global).
+
+    Returns the started StreamingQuery."""
+    from ..operators.expectations import run_expectations
+
+    def _one_batch(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        report = run_expectations(bdf, rules).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "reports", f"batch_id={batch_id}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_one_batch).option(
+        "checkpointLocation", os.path.join(out_dir, "_expect_checkpoint")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -232,3 +232,28 @@ def test_decontam_preserves_string_id_type(spark):
     assert [r["url"] for r in rep.collect()] == ["https://x/1"]
     kept = remove_contaminated(corpus, bg, "url", "text", n=8)
     assert [r["url"] for r in kept.collect()] == ["https://x/2"]
+
+
+def test_cli_decontam_subcommand(spark, tmp_path, capsys):
+    import json
+
+    from fairtracks_validator_spark.cli import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    bench_path = str(tmp_path / "bench.parquet")
+    docs = spark.read.parquet(src)
+    docs.where(F.col("doc_id") < 20).write.mode("overwrite").parquet(bench_path)
+    out = str(tmp_path / "clean")
+    rep = str(tmp_path / "contam_report")
+    rc = main(["decontam", "--input", src, "--bench", bench_path,
+               "--out", out, "--report", rep,
+               "--id-col", "doc_id", "--text-col", "text"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the 20 bench docs ARE in the corpus -> flagged at containment 1.0
+    assert payload["dropped"] >= 20
+    kept = spark.read.parquet(out)
+    assert kept.where(F.col("doc_id") < 20).count() == 0
+    assert kept.count() == 500 - payload["dropped"]
+    report = spark.read.parquet(rep)
+    assert {"doc_id", "n_grams", "overlap_grams", "overlap_frac"} <= set(report.columns)

@@ -297,3 +297,43 @@ def test_stream_fanout_promotion_cascade(spark, tmp_path):
     claimed = {(r["key_str"], r["first_source"]) for r in reg.collect()}
     assert ("[\"k1\"]", "B") in claimed
     assert not any(fs == "A" for _, fs in claimed)
+
+
+def test_expectations_stream_per_batch_reports(spark, tmp_path):
+    from fairtracks_validator_spark.operators import expectations as X
+    from fairtracks_validator_spark.streaming.validate_stream import (
+        expectations_stream,
+    )
+
+    src = str(tmp_path / "ex_src")
+    out = str(tmp_path / "ex_out")
+    ddl = "id long, v double"
+    # one file -> one micro-batch holding all three rows (multiple files
+    # with maxFilesPerTrigger=1 would make per-row batches, and an all-null
+    # batch rightly FAILS the mean rule — per-batch semantics)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], ddl
+    ).repartition(1).write.parquet(src)
+    stream = spark.readStream.schema(ddl).parquet(src)
+    rules = [
+        X.row_count(lo=1),
+        X.null_rate("v", 0.5),
+        X.mean_value("v", lo=0, hi=100),
+    ]
+    q = expectations_stream(stream, rules, out)
+    q.awaitTermination(120)
+    rep = spark.read.parquet(f"{out}/reports")
+    rows = {(r["batch_id"], r["rule_id"]): r for r in rep.collect()}
+    assert len({b for b, _ in rows}) >= 1  # at least one micro-batch report
+    # aggregate over ALL batches: every rule present, and the null-rate
+    # rule holds per batch (<= 0.5 with one null among three rows total)
+    assert all(rows[k]["passed"] for k in rows), rows
+    # a second availableNow run over a GROWN source appends a new batch id
+    spark.createDataFrame([(4, 1000.0)], ddl).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(ddl).parquet(src)
+    q2 = expectations_stream(stream2, rules, out)
+    q2.awaitTermination(120)
+    rep2 = spark.read.parquet(f"{out}/reports")
+    assert rep2.count() > rep.count()
