@@ -45,7 +45,11 @@ def _cmd_decontam(spark, args) -> int:
     scan beyond the write itself."""
     from pyspark.sql import functions as F
 
-    from .operators.decontam import benchmark_ngrams, contamination_report
+    from .operators.decontam import (
+        benchmark_ngrams,
+        contamination_report,
+        remove_contaminated,
+    )
     from .sources.tables import read_table, write_table
 
     docs = read_table(spark, args.input)
@@ -59,22 +63,22 @@ def _cmd_decontam(spark, args) -> int:
     try:
         if args.report:
             write_table(report, args.report, mode="overwrite")
-        flagged = report.where(
-            F.col("overlap_frac") > args.max_overlap_frac
-        ).select(F.col(args.id_col).alias("_flagged_id"))
-        kept = docs.join(
-            F.broadcast(flagged),
-            F.col(args.id_col) == F.col("_flagged_id"),
-            "left_anti",
+        # threshold predicate + anti-join live in remove_contaminated —
+        # the CLI only supplies its persisted report (code-review r5)
+        kept = remove_contaminated(
+            docs, id_col=args.id_col,
+            max_overlap_frac=args.max_overlap_frac, report=report,
         )
         write_table(kept, args.out, mode="overwrite")
-        n_overlap = report.count()
-        n_flagged = report.where(
-            F.col("overlap_frac") > args.max_overlap_frac
-        ).count()
+        counts = report.agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.sum(
+                (F.col("overlap_frac") > args.max_overlap_frac).cast("long")
+            ).alias("n_flagged"),
+        ).first()
         print(json.dumps({
-            "docs_with_overlap": n_overlap,
-            "dropped": n_flagged,
+            "docs_with_overlap": counts["n_overlap"],
+            "dropped": int(counts["n_flagged"] or 0),
             "out": args.out,
         }))
     finally:

@@ -26,6 +26,8 @@ byte-exact DuckDB oracle (``__spark_entry__.q_decontam_documents``).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -87,22 +89,30 @@ def contamination_report(
 
 def remove_contaminated(
     docs: DataFrame,
-    bench_grams: DataFrame,
-    id_col: str,
-    text_col: str,
+    bench_grams: Optional[DataFrame] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
     n: int = 8,
     max_overlap_frac: float = 0.0,
+    report: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Drop documents whose benchmark containment exceeds
     ``max_overlap_frac`` (0.0 = any shared n-gram disqualifies).
 
-    The flagged-id relation is the contamination report filtered to the
-    threshold — tiny by construction — so the anti-join broadcasts and the
-    corpus passes through map-side."""
-    flagged = (
-        contamination_report(docs, bench_grams, id_col, text_col, n)
-        .where(F.col("overlap_frac") > max_overlap_frac)
-        .select(F.col(id_col).alias("_flagged_id"))
+    Pass either ``bench_grams`` (the report is computed here) or a
+    precomputed ``report`` from :func:`contamination_report` (the CLI
+    persists one to also write it out — the threshold predicate and the
+    anti-join live HERE either way, so library and CLI cannot diverge).
+
+    The flagged-id relation is the report filtered to the threshold —
+    tiny by construction — so the anti-join broadcasts and the corpus
+    passes through map-side."""
+    if (bench_grams is None) == (report is None):
+        raise ValueError("pass exactly one of bench_grams or report")
+    if report is None:
+        report = contamination_report(docs, bench_grams, id_col, text_col, n)
+    flagged = report.where(F.col("overlap_frac") > max_overlap_frac).select(
+        F.col(id_col).alias("_flagged_id")
     )
     return docs.join(
         F.broadcast(flagged),

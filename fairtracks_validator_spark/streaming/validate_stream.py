@@ -254,8 +254,10 @@ def expectations_stream(
     from ..operators.expectations import run_expectations
 
     def _one_batch(bdf: DataFrame, batch_id: int) -> None:
-        if bdf.isEmpty():
-            return
+        # empty batches report too: row_count 0 / null metrics FAIL their
+        # rules, which is exactly the alarm the monitoring contract
+        # promises — skipping would permanently hide a no-data condition
+        # behind a committed batch id (code-review r5)
         report = run_expectations(bdf, rules).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )

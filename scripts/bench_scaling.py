@@ -209,11 +209,16 @@ def main():
 
     # interleaved rounds: ceiling, then (N, 4N) adjacent pairs with a
     # ceiling sample between rounds — every number shares the same session
+    repeats = int(os.environ.get("SCALE_REPEATS", "4"))
     ceilings = [hardware_ceiling(n_lo)]
     rounds = []
     for _ in range(ROUNDS):
-        lo = run(n_lo)
-        hi = run(n_lo * 4)
+        # SYMMETRIC repeats at both levels: best-of-k walls shrink in
+        # expectation with k, so giving either side more draws than the
+        # other would bias the efficiency ratio (min-of-k favors the side
+        # with more samples) — the one knob is how tight, never lopsided
+        lo = run(n_lo, repeats=repeats)
+        hi = run(n_lo * 4, repeats=repeats)
         rounds.append((lo, hi))
         ceilings.append(hardware_ceiling(n_lo))
 
@@ -268,7 +273,9 @@ parallelism levels (N={n_lo} and 4N={n_lo * 4} worker threads).
 
 Methodology (r4 protocol; r5 numbers measure the slimmed
 key-only-sort reduce stage of commit 20ed974): {ROUNDS} interleaved rounds, each a fresh-JVM N run
-immediately followed by a fresh-JVM 4N run (best-of-3 inside each), with
+immediately followed by a fresh-JVM 4N run (best-of-{repeats} inside
+each, SAME repeat count both levels — asymmetric best-of-k would bias the
+min toward the better-sampled side), with
 the pure-CPU busy-loop hardware ceiling sampled before and after every
 round. Efficiency is computed per round from its adjacent pair; the
 headline is the median over rounds.
@@ -296,7 +303,7 @@ Measured {stamp} — raw interleaved trials:
   N-dependent: same 64 shuffle partitions, hash-partitioned by url key,
   no driver-side loops, no collect.
 
-Per-round walls (best-of-3 shown above; all trials):
+Per-round walls (best-of-{repeats} shown above; all trials):
 N = {[p[0]['walls'] for p in rounds]};
 4N = {[p[1]['walls'] for p in rounds]}.
 
@@ -308,7 +315,8 @@ The one-shuffle training-corpus pipeline (Gopher gate → exact dedup →
 hash sample → split) over a {prep_rows:,}-row pages table (prep is
 ~10× more CPU per doc than validation — tokenization + HOF metrics —
 so it runs at {prep_rows:,} rows; {ROUNDS} interleaved rounds,
-best-of-3 inside each run, identical protocol to validation above):
+best-of-3 inside each run (symmetric at both levels), identical
+interleaved protocol to validation above):
 
 | round | N wall (s) | 4N wall (s) | N docs/s | 4N docs/s | efficiency |
 | --- | --- | --- | --- | --- | --- |

@@ -329,6 +329,9 @@ def test_expectations_stream_per_batch_reports(spark, tmp_path):
     # rule holds per batch (<= 0.5 with one null among three rows total)
     assert all(rows[k]["passed"] for k in rows), rows
     # a second availableNow run over a GROWN source appends a new batch id
+    # (count captured BEFORE the append — the first DataFrame's cached file
+    # listing must not be what the assertion depends on, code-review r5)
+    n_first = rep.count()
     spark.createDataFrame([(4, 1000.0)], ddl).repartition(1).write.mode(
         "append"
     ).parquet(src)
@@ -336,4 +339,4 @@ def test_expectations_stream_per_batch_reports(spark, tmp_path):
     q2 = expectations_stream(stream2, rules, out)
     q2.awaitTermination(120)
     rep2 = spark.read.parquet(f"{out}/reports")
-    assert rep2.count() > rep.count()
+    assert rep2.count() > n_first
