@@ -2405,6 +2405,73 @@ SELECT * FROM (
 """
 
 
+# --------------------------------------------------- span trimming (r5)
+def q_trim_contam_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: contaminated n-gram windows are CUT,
+    clean text passes through byte-identical (single-space corpus, so
+    token-rejoin is the identity). Clones prefixed with 'zz yy' must
+    reduce to exactly that prefix — every original token is covered."""
+    from fairtracks_validator_spark.operators.decontam import (
+        benchmark_ngrams,
+        trim_contaminated,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20)
+    corpus = docs.where(F.col("doc_id") >= 20).unionByName(
+        bench.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("zz yy "), F.col("text")).alias("text"),
+        )
+    )
+    bg = benchmark_ngrams(bench, "text", n=8)
+    return trim_contaminated(_par(corpus), bg, "doc_id", "text", n=8)
+
+
+_TRIM_CONTAM_SQL_T = """
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'zz yy ' || text AS text FROM bench
+),
+btok AS (SELECT {TOKENS} AS words FROM bench),
+bg AS (
+  SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS gram
+  FROM btok, LATERAL (
+    SELECT unnest(range(1, greatest(len(words) - 6, 1))) AS i
+  ) s
+  WHERE len(words) >= 8
+),
+dtok AS (SELECT doc_id, {TOKENS} AS w FROM corpus),
+hit AS (
+  SELECT t.doc_id, s.i AS start
+  FROM dtok t, LATERAL (
+    SELECT unnest(range(1, greatest(len(t.w) - 6, 1))) AS i
+  ) s
+  WHERE array_to_string(t.w[s.i:s.i+7], ' ') IN (SELECT gram FROM bg)
+),
+st AS (SELECT doc_id, list_sort(list(start)) AS starts FROM hit GROUP BY doc_id)
+SELECT d.doc_id,
+  array_to_string(
+    list_filter(d.w, (t, j) -> len(list_filter(
+      coalesce(s.starts, CAST([] AS BIGINT[])),
+      x -> x <= j AND j < x + 8)) = 0),
+    ' ') AS text,
+  CAST(len(d.w) AS INT) AS n_tokens,
+  CAST(len(d.w) - len(
+    list_filter(d.w, (t, j) -> len(list_filter(
+      coalesce(s.starts, CAST([] AS BIGINT[])),
+      x -> x <= j AND j < x + 8)) = 0)
+  ) AS INT) AS n_tokens_removed
+FROM dtok d LEFT JOIN st s USING (doc_id)
+"""
+
+
+def _trim_contam_sql() -> str:
+    return _TRIM_CONTAM_SQL_T.replace("{TOKENS}", _SQL_TOKENS)
+
+
 # ------------------------------------------------- multi-histogram (r5)
 def q_multi_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histograms of two numeric columns in ONE scan (the `profile`
@@ -2502,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_documents": q_line_dedup_documents,
         "expectations_documents": q_expectations_documents,
         "multi_histogram_events": q_multi_histogram_events,
+        "trim_contam_documents": q_trim_contam_documents,
     }
 
 
@@ -2564,4 +2632,5 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_documents": _line_dedup_sql(),
         "expectations_documents": _EXPECTATIONS_SQL,
         "multi_histogram_events": _multi_histogram_sql(),
+        "trim_contam_documents": _trim_contam_sql(),
     }

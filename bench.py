@@ -84,6 +84,7 @@ HEADLINE = [
     "line_dedup_documents",
     "expectations_documents",
     "multi_histogram_events",
+    "trim_contam_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))

@@ -119,3 +119,69 @@ def remove_contaminated(
         F.col(id_col) == F.col("_flagged_id"),
         "left_anti",
     )
+
+
+def trim_contaminated(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Remove the contaminated SPANS instead of dropping whole documents.
+
+    The softer decontamination variant from the public recipes (Llama /
+    PaLM appendices trim matched windows rather than discard the page):
+    every token covered by at least one benchmark-matching n-gram is cut,
+    and the survivors are rejoined in order.
+
+    Shape: tokens once (let-bound), positional n-grams exploded map-side,
+    broadcast inner join keeps only matching positions, one groupBy(doc)
+    collects the (tiny — contaminated-only) start-position list, and a
+    final broadcast join hands each doc its starts so a pure HOF filter
+    drops covered tokens. Clean documents (no matching gram) never shuffle
+    and pass through with their text untouched.
+
+    Returns ``(<id_col>, text, n_tokens, n_tokens_removed)``."""
+    from ..functions.text import tokens as _tokens
+
+    base = docs.select(
+        F.col(id_col).alias("_dc_id"),
+        _tokens(text_col).alias("_toks"),
+    )
+    # positional (start, gram) pairs; start is 1-based token index
+    grams = base.select(
+        "_dc_id",
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_toks"), i, n)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "gram"),
+    ).select("_dc_id", (F.col("pos0") + 1).alias("start"), "gram")
+    hits = (
+        grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("_dc_id")
+        .agg(F.sort_array(F.collect_set("start")).alias("_starts"))
+    )
+    covered = lambda idx, starts: F.exists(  # noqa: E731
+        starts, lambda s: (s <= idx) & (idx < s + n)
+    )
+    joined = base.join(F.broadcast(hits), "_dc_id", "left")
+    kept = F.filter(
+        F.col("_toks"),
+        lambda tok, i: ~F.coalesce(
+            covered(i + 1, F.col("_starts")), F.lit(False)
+        ),
+    )
+    return joined.select(
+        F.col("_dc_id").alias(id_col),
+        F.concat_ws(" ", kept).alias(text_col),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_tokens_removed"),
+    )

@@ -257,3 +257,46 @@ def test_cli_decontam_subcommand(spark, tmp_path, capsys):
     assert kept.count() == 500 - payload["dropped"]
     report = spark.read.parquet(rep)
     assert {"doc_id", "n_grams", "overlap_grams", "overlap_frac"} <= set(report.columns)
+
+
+def test_trim_contaminated_spans(spark):
+    from fairtracks_validator_spark.operators.decontam import trim_contaminated
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # bench 8-gram embedded mid-doc: exactly those 8 tokens cut
+            (1, "pre1 pre2 a b c d e f g h post1 post2"),
+            # clean doc: byte-identical passthrough
+            (2, "totally different words with no overlap at all here"),
+            # shorter than n: no grams, passthrough
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bg = benchmark_ngrams(bench, "text", n=8)
+    out = _by_id(trim_contaminated(corpus, bg, "doc_id", "text", n=8))
+    assert out[1]["text"] == "pre1 pre2 post1 post2"
+    assert (out[1]["n_tokens"], out[1]["n_tokens_removed"]) == (12, 8)
+    assert out[2]["text"] == "totally different words with no overlap at all here"
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[3]["text"] == "tiny doc" and out[3]["n_tokens_removed"] == 0
+
+
+def test_trim_contaminated_overlapping_windows(spark):
+    from fairtracks_validator_spark.operators.decontam import trim_contaminated
+
+    # two overlapping bench grams cover 9 tokens; union of spans removed
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(7, "x a b c d e f g h i y")], "doc_id long, text string",
+    )
+    bg = benchmark_ngrams(bench, "text", n=8)
+    out = _by_id(trim_contaminated(corpus, bg, "doc_id", "text", n=8))
+    assert out[7]["text"] == "x y"
+    assert out[7]["n_tokens_removed"] == 9
