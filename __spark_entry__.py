@@ -2472,6 +2472,99 @@ def _trim_contam_sql() -> str:
     return _TRIM_CONTAM_SQL_T.replace("{TOKENS}", _SQL_TOKENS)
 
 
+# ------------------------------------------- winnowing fingerprints (r5)
+def q_winnow_passages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-passage pairs via winnowing fingerprints (Schleimer et al.
+    2003): clones of the first 30 docs (clean 'qq rr' prefix) must pair
+    with their originals — every (orig, clone) passage is ≥ w+k-1 tokens,
+    so the winnowing guarantee fires. Boilerplate fingerprints present in
+    >64 docs are dropped identically on both sides."""
+    from fairtracks_validator_spark.operators.winnow import shared_passage_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.lit("qq rr "), F.col("text")).alias("text"),
+        )
+    )
+    return shared_passage_pairs(
+        _par(corpus), "doc_id", "text",
+        k=5, w=4, min_shared=2, max_docs_per_fp=64,
+    )
+
+
+_WINNOW_SQL_T = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'qq rr ' || text AS text
+  FROM documents WHERE doc_id < 30
+),
+dtok AS (SELECT doc_id, {TOKENS} AS w FROM corpus),
+gr AS (
+  SELECT doc_id,
+    [md5(array_to_string(w[i:i+4], ' ')) for i in range(1, len(w) - 3)] AS h
+  FROM dtok WHERE len(w) >= 5
+),
+sel AS (
+  SELECT g.doc_id,
+    list_sort(list_transform(
+      g.h[s.i:least(s.i + 3, len(g.h))],
+      (x, j) -> {'fp': x, 'negpos': -(s.i + j - 1)}
+    ))[1]['fp'] AS fp
+  FROM gr g, LATERAL (
+    SELECT unnest(range(1, greatest(len(g.h) - 3, 1) + 1)) AS i
+  ) s
+),
+keyed AS (SELECT DISTINCT doc_id, fp FROM sel),
+good AS (SELECT fp FROM keyed GROUP BY fp HAVING count(*) BETWEEN 2 AND 64)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM keyed a JOIN good g ON a.fp = g.fp JOIN keyed b ON b.fp = a.fp
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def _winnow_sql() -> str:
+    return _WINNOW_SQL_T.replace("{TOKENS}", _SQL_TOKENS)
+
+
+# ---------------------------------------------- importance sampling (r5)
+def q_importance_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style weighted sampling: keep probability ∝ token count,
+    expected keep rate 25%. Map-only hash decision; the normalization mean
+    is exact in both engines (integer weights sum exactly in doubles), and
+    the (w·rate)/mean association order is pinned on both sides."""
+    from fairtracks_validator_spark.functions.text import token_count
+    from fairtracks_validator_spark.operators.sampling import importance_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn("w", token_count("text"))
+    out = importance_sample(docs, "doc_id", "w", 0.25, seed="dsir")
+    return out.select(
+        "doc_id", F.col("w").cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+_IMPORTANCE_SAMPLE_SQL_T = """
+WITH wt AS (
+  SELECT doc_id, len({TOKENS}) AS w FROM documents
+),
+m AS (SELECT avg(w) AS mw FROM wt)
+SELECT doc_id::BIGINT AS doc_id, w::BIGINT AS n_tokens
+FROM wt, m
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|dsir'), 1, 15))::BIGINT % 1000000 <
+      floor(least(w::DOUBLE * 0.25 / mw, 1.0) * 1000000)::BIGINT
+ORDER BY doc_id
+"""
+
+
+def _importance_sample_sql() -> str:
+    return _IMPORTANCE_SAMPLE_SQL_T.replace("{TOKENS}", _SQL_TOKENS)
+
+
 # ------------------------------------------------- multi-histogram (r5)
 def q_multi_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histograms of two numeric columns in ONE scan (the `profile`
@@ -2570,6 +2663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_documents": q_expectations_documents,
         "multi_histogram_events": q_multi_histogram_events,
         "trim_contam_documents": q_trim_contam_documents,
+        "winnow_passages_documents": q_winnow_passages_documents,
+        "importance_sample_documents": q_importance_sample_documents,
     }
 
 
@@ -2633,4 +2728,6 @@ def oracle_sql() -> dict[str, str]:
         "expectations_documents": _EXPECTATIONS_SQL,
         "multi_histogram_events": _multi_histogram_sql(),
         "trim_contam_documents": _trim_contam_sql(),
+        "winnow_passages_documents": _winnow_sql(),
+        "importance_sample_documents": _importance_sample_sql(),
     }

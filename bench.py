@@ -85,6 +85,8 @@ HEADLINE = [
     "expectations_documents",
     "multi_histogram_events",
     "trim_contam_documents",
+    "winnow_passages_documents",
+    "importance_sample_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))

@@ -86,6 +86,24 @@ def _cmd_decontam(spark, args) -> int:
     return 0
 
 
+def _cmd_passages(spark, args) -> int:
+    """Shared-passage pair detection as a job: winnowing fingerprints →
+    fingerprint-keyed buckets → bounded pair expansion → one write."""
+    from .operators.winnow import shared_passage_pairs
+    from .sources.tables import read_table, write_table
+
+    docs = read_table(spark, args.input)
+    pairs = shared_passage_pairs(
+        docs, args.id_col, args.text_col,
+        k=args.k, w=args.window,
+        min_shared=args.min_shared, max_docs_per_fp=args.max_docs_per_fp,
+    )
+    write_table(pairs, args.out, mode="overwrite")
+    n = read_table(spark, args.out).count()
+    print(json.dumps({"pairs": n, "out": args.out}))
+    return 0
+
+
 def _cmd_profile(spark, args) -> int:
     """Write a drift baseline: column profiles + one-scan histograms.
 
@@ -307,6 +325,24 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--max-overlap-frac", type=float, default=0.0,
                     help="0.0 = any shared n-gram disqualifies")
 
+    pg = sub.add_parser(
+        "passages",
+        help="shared-passage pairs via winnowing fingerprints (MOSS recipe)",
+    )
+    pg.add_argument("--input", required=True, help="parquet path / table")
+    pg.add_argument("--out", required=True,
+                    help="output parquet path / table for (id_a, id_b, "
+                         "shared_fps) pairs")
+    pg.add_argument("--id-col", default="url")
+    pg.add_argument("--text-col", default="text")
+    pg.add_argument("--k", type=int, default=5, help="gram size (tokens)")
+    pg.add_argument("--window", type=int, default=4,
+                    help="winnowing window (fingerprint density ~2/(w+1))")
+    pg.add_argument("--min-shared", type=int, default=2,
+                    help="emit pairs sharing at least this many fingerprints")
+    pg.add_argument("--max-docs-per-fp", type=int, default=64,
+                    help="drop boilerplate fingerprints present in more docs")
+
     pr = sub.add_parser(
         "profile",
         help="column profiles + per-column histograms -> a drift baseline",
@@ -343,6 +379,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_drift(spark, args)
     if args.cmd == "decontam":
         return _cmd_decontam(spark, args)
+    if args.cmd == "passages":
+        return _cmd_passages(spark, args)
 
     if args.cmd == "expect":
         from .operators.expectations import (

@@ -89,3 +89,103 @@ def train_val_split(
         .when(b < test_cut, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    target_rate: float,
+    seed: str = "",
+    mean_weight: float | None = None,
+) -> DataFrame:
+    """Weighted (importance) sampling: keep probability proportional to a
+    per-row weight, expected keep fraction ≈ ``target_rate`` — the DSIR /
+    quality-weighted data-selection shape (Xie et al. 2023, public paper):
+    upweight rows scoring high under a target distribution, downsample the
+    rest, without a global sort or RNG state.
+
+    ``p_row = min(weight · target_rate / mean_weight, 1)``; the decision is
+    ``hash_bucket(key) < floor(p · DENOM)`` — deterministic, map-only,
+    entity-stable, resumable, engine-portable (exact SQL oracle when the
+    weight is integral and ``mean_weight`` association is preserved:
+    ``(w · rate) / mean``).
+
+    ``mean_weight`` (the normalization constant) is computed with one
+    map-side-combined aggregation when not supplied; production runs at
+    10^12 rows should pass the stored value from a profile run so sampling
+    stays single-pass. Weights saturating at p=1 make the realized rate
+    drift below ``target_rate`` — by design (nothing exceeds probability 1);
+    callers chasing an exact output size should iterate on the stored mean.
+    """
+    if not 0.0 <= target_rate <= 1.0:
+        raise ValueError(f"target_rate must be in [0, 1], got {target_rate}")
+    if mean_weight is None:
+        mean_weight = df.agg(
+            F.avg(F.col(weight_col).cast("double"))
+        ).first()[0]
+    if mean_weight is None or mean_weight <= 0:
+        raise ValueError(
+            f"mean_weight must be positive (got {mean_weight}); "
+            "weights must be non-negative with a positive mean"
+        )
+    p = F.least(
+        F.col(weight_col).cast("double")
+        * F.lit(float(target_rate))
+        / F.lit(float(mean_weight)),
+        F.lit(1.0),
+    )
+    return df.where(
+        hash_bucket(F.col(key_col), seed) < F.floor(p * F.lit(DENOM))
+    )
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float, target_total: int
+) -> dict[str, float]:
+    """Per-stratum sampling rates for multilingual temperature sampling
+    (mT5 / XLM-R recipe, public papers): sample stratum ``l`` proportional
+    to ``count_l^alpha`` — ``alpha < 1`` flattens the head so tail languages
+    survive. Driver-side arithmetic over the (tiny) per-stratum count dict;
+    feed the result to :func:`stratified_sample`. Rates are capped at 1.0
+    and the residual mass is NOT redistributed (a stratum cannot be
+    oversampled without row duplication — use an explicit upsampling join
+    for that)."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_total <= 0 or not counts:
+        return {k: 0.0 for k in counts}
+    weights = {k: (c ** alpha if c > 0 else 0.0) for k, c in counts.items()}
+    total_w = sum(weights.values())
+    if total_w == 0:
+        return {k: 0.0 for k in counts}
+    # want: sum(min(rate_k * count_k, count_k)) == target_total with
+    # rate_k ∝ weight_k / count_k; solve the cap by water-filling (few
+    # strata, driver-side)
+    scale = target_total / total_w
+    rates = {}
+    capped: set[str] = set()
+    for _ in range(len(counts) + 1):
+        rates = {
+            k: (1.0 if k in capped else min(
+                weights[k] * scale / counts[k], 1.0
+            ) if counts[k] > 0 else 0.0)
+            for k in counts
+        }
+        newly = {
+            k for k in counts
+            if k not in capped and counts[k] > 0
+            and weights[k] * scale / counts[k] >= 1.0
+        }
+        if not newly:
+            break
+        capped |= newly
+        remaining = target_total - sum(counts[k] for k in capped)
+        free_w = sum(weights[k] for k in counts if k not in capped)
+        if remaining <= 0 or free_w == 0:
+            rates = {
+                k: (1.0 if k in capped else 0.0) for k in counts
+            }
+            break
+        scale = remaining / free_w
+    return rates

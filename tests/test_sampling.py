@@ -111,3 +111,80 @@ def test_split_on_pages_url_key_entity_stable(spark):
     assert bad == 0
     counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert 0.10 < counts["val"] / 20_000 < 0.20
+
+
+# ------------------------------------------------------ importance sampling
+def test_importance_sample_rate_and_proportionality(spark):
+    from fairtracks_validator_spark.operators.sampling import importance_sample
+
+    # weights 1 vs 4: heavy rows kept ~4x as often, overall rate ~ target
+    df = spark.range(0, 40_000).withColumn(
+        "w", F.when(F.col("id") % 2 == 0, F.lit(1)).otherwise(F.lit(4))
+    )
+    kept = importance_sample(df, "id", "w", 0.2, seed="imp")
+    light = kept.where(F.col("w") == 1).count()
+    heavy = kept.where(F.col("w") == 4).count()
+    total = light + heavy
+    assert 0.2 * 40_000 * 0.9 < total < 0.2 * 40_000 * 1.1
+    assert 3.0 < heavy / max(light, 1) < 5.0
+
+
+def test_importance_sample_saturation_and_determinism(spark):
+    from fairtracks_validator_spark.operators.sampling import importance_sample
+
+    # huge weight saturates at p=1: ALL such rows kept, repartition-invariant
+    df = spark.range(0, 2_000).withColumn(
+        "w", F.when(F.col("id") < 100, F.lit(10_000)).otherwise(F.lit(1))
+    )
+    a = importance_sample(df, "id", "w", 0.1, seed="s")
+    b = importance_sample(df.repartition(7), "id", "w", 0.1, seed="s")
+    ids_a = {r["id"] for r in a.select("id").collect()}
+    ids_b = {r["id"] for r in b.select("id").collect()}
+    assert ids_a == ids_b
+    assert set(range(100)) <= ids_a  # saturated rows always kept
+
+
+def test_importance_sample_explicit_mean_and_errors(spark):
+    from fairtracks_validator_spark.operators.sampling import importance_sample
+
+    df = spark.range(0, 1_000).withColumn("w", F.lit(2))
+    # explicit mean == computed mean -> identical selection, zero extra scan
+    a = {r["id"] for r in importance_sample(df, "id", "w", 0.3).collect()}
+    b = {r["id"] for r in importance_sample(
+        df, "id", "w", 0.3, mean_weight=2.0).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="target_rate"):
+        importance_sample(df, "id", "w", 1.5)
+    zero = df.withColumn("w", F.lit(0))
+    with pytest.raises(ValueError, match="mean_weight"):
+        importance_sample(zero, "id", "w", 0.5)
+
+
+# ------------------------------------------------------ temperature rates
+def test_temperature_rates_flattens_head():
+    from fairtracks_validator_spark.operators.sampling import temperature_rates
+
+    counts = {"en": 900_000, "de": 90_000, "fr": 10_000}
+    r_uniform = temperature_rates(counts, alpha=1.0, target_total=100_000)
+    # alpha=1: proportional sampling, every stratum same rate
+    assert abs(r_uniform["en"] - r_uniform["fr"]) < 1e-9
+    r_flat = temperature_rates(counts, alpha=0.3, target_total=100_000)
+    # alpha<1: tail rate rises above head rate
+    assert r_flat["fr"] > r_flat["en"]
+    # expected kept mass == target
+    got = sum(r_flat[k] * counts[k] for k in counts)
+    assert abs(got - 100_000) < 1.0
+
+
+def test_temperature_rates_water_filling_cap():
+    from fairtracks_validator_spark.operators.sampling import temperature_rates
+
+    # tiny stratum would need rate > 1 -> capped at 1.0, mass refilled
+    counts = {"big": 1_000_000, "tiny": 50}
+    r = temperature_rates(counts, alpha=0.0, target_total=10_000)
+    assert r["tiny"] == 1.0
+    got = r["big"] * counts["big"] + counts["tiny"]
+    assert abs(got - 10_000) < 1.0
+    # degenerate inputs
+    assert temperature_rates({}, 0.5, 100) == {}
+    assert temperature_rates(counts, 0.5, 0) == {"big": 0.0, "tiny": 0.0}
