@@ -2604,6 +2604,133 @@ GROUP BY "column", lo, hi, buckets, bucket
 """
 
 
+def q_bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with stupid backoff (Brants et al. 2007), capped-model
+    broadcast shape (top-500 unigrams / top-2000 bigrams) so the backoff
+    branch is actually exercised — self-trained exact mode never backs off."""
+    from fairtracks_validator_spark.operators.scoring import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(
+        docs, "doc_id", "text", max_vocab=500, max_bigrams=2000
+    ).orderBy("doc_id")
+
+
+_BIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (SELECT doc_id AS id, {_SQL_TOKENS} AS ts FROM documents),
+pos AS (
+  SELECT id, unnest([ {{'prev': CASE WHEN i > 1 THEN ts[i-1] END, 'cur': ts[i]}}
+                      for i in range(1, len(ts)+1) ]) AS p
+  FROM tok
+),
+st AS (SELECT id, p.prev AS prev, p.cur AS cur FROM pos),
+uni_all AS (SELECT cur, count(*) AS c_cur FROM st GROUP BY 1),
+tot AS (SELECT sum(c_cur)::DOUBLE AS total FROM uni_all),
+uni AS (SELECT cur, c_cur FROM uni_all ORDER BY c_cur DESC, cur ASC LIMIT 500),
+big AS (SELECT prev, cur, count(*) AS c_big FROM st WHERE prev IS NOT NULL
+        GROUP BY 1, 2 ORDER BY count(*) DESC, prev ASC, cur ASC LIMIT 2000),
+scored AS (
+  SELECT st.id,
+    CASE WHEN st.prev IS NULL
+         THEN coalesce(ln(u.c_cur / tot.total), ln(1.0 / tot.total))
+         WHEN b.c_big IS NOT NULL AND up.c_prev IS NOT NULL
+         THEN ln(b.c_big / up.c_prev)
+         ELSE ln(0.4) + coalesce(ln(u.c_cur / tot.total), ln(1.0 / tot.total))
+    END AS lp
+  FROM st
+  LEFT JOIN uni u ON u.cur = st.cur
+  LEFT JOIN (SELECT cur AS prev, c_cur AS c_prev FROM uni) up ON up.prev = st.prev
+  LEFT JOIN big b ON b.prev = st.prev AND b.cur = st.cur
+  CROSS JOIN tot
+)
+SELECT id::BIGINT AS doc_id, round(avg(lp), 4) AS logprob,
+       count(*)::BIGINT AS n_tokens
+FROM scored GROUP BY id ORDER BY doc_id
+"""
+
+
+def q_ccnet_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles per language over the unigram-LM
+    score — the Wenzek et al. 2019 §4.3 filtering split."""
+    from fairtracks_validator_spark.operators.scoring import (
+        ccnet_buckets,
+        unigram_logprob,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return ccnet_buckets(scored, "doc_id", "logprob", "lang").orderBy("doc_id")
+
+
+_CCNET_BUCKETS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab),
+scored AS (
+  SELECT t.id AS doc_id, round(avg(ln(v.cnt / tot.total)), 4) AS logprob
+  FROM tok t JOIN vocab v USING (token), tot
+  GROUP BY t.id
+),
+sl AS (SELECT s.doc_id, d.lang, s.logprob
+       FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+cut AS (
+  SELECT lang,
+         round(quantile_cont(logprob, 1.0/3.0), 6) AS c_lo,
+         round(quantile_cont(logprob, 2.0/3.0), 6) AS c_hi
+  FROM sl GROUP BY 1
+)
+SELECT sl.doc_id::BIGINT AS doc_id, sl.lang, sl.logprob,
+       CASE WHEN sl.logprob >= cut.c_hi THEN 'head'
+            WHEN sl.logprob >= cut.c_lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sl JOIN cut USING (lang) ORDER BY doc_id
+"""
+
+
+def q_classifier_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed linear quality classifier (Joulin et al.
+    2016): word uni+bigrams hashed into 256 buckets × a deterministic
+    pseudo-trained weight vector, sigmoid of the mean — folded-array
+    zero-shuffle path."""
+    from fairtracks_validator_spark.operators.scoring import (
+        hashed_linear_score,
+        make_hash_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(
+        docs, "doc_id", "text", make_hash_weights(256, "w")
+    ).orderBy("doc_id")
+
+
+_CLASSIFIER_SCORE_SQL = f"""
+WITH w AS (
+  SELECT list(((('0x' || substr(md5('w|' || b), 1, 15))::BIGINT % 2001) - 1000)
+              / 1000.0 ORDER BY b) AS wl
+  FROM range(256) t(b)
+),
+tok AS (SELECT doc_id AS id, {_SQL_TOKENS} AS ts FROM documents),
+feats AS (
+  SELECT id, ts || [ ts[i-1] || ' ' || ts[i] for i in range(2, len(ts)+1) ] AS fs
+  FROM tok WHERE len(ts) > 0
+),
+sc AS (
+  SELECT id, len(fs) AS n,
+         list_sum([ w.wl[(('0x' || substr(md5(f), 1, 15))::BIGINT % 256) + 1]
+                    for f in fs ]) AS s
+  FROM feats, w
+)
+SELECT id::BIGINT AS doc_id,
+       round(1.0 / (1.0 + exp(-(s / n))), 4) AS score,
+       n::BIGINT AS n_features
+FROM sc ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2665,6 +2792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_contam_documents": q_trim_contam_documents,
         "winnow_passages_documents": q_winnow_passages_documents,
         "importance_sample_documents": q_importance_sample_documents,
+        "bigram_logprob_documents": q_bigram_logprob_documents,
+        "ccnet_buckets_documents": q_ccnet_buckets_documents,
+        "classifier_score_documents": q_classifier_score_documents,
     }
 
 
@@ -2730,4 +2860,7 @@ def oracle_sql() -> dict[str, str]:
         "trim_contam_documents": _trim_contam_sql(),
         "winnow_passages_documents": _winnow_sql(),
         "importance_sample_documents": _importance_sample_sql(),
+        "bigram_logprob_documents": _BIGRAM_LOGPROB_SQL,
+        "ccnet_buckets_documents": _CCNET_BUCKETS_SQL,
+        "classifier_score_documents": _CLASSIFIER_SCORE_SQL,
     }
