@@ -2731,6 +2731,73 @@ FROM sc ORDER BY doc_id
 """
 
 
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, prune cosine>=t
+    pairs within clusters, keeping the lowest-centroid-sim member. Planted
+    exact clones (vec_id<5 -> +900000) must be the dropped rows. Pretrained
+    codebook shape: centroids = embeddings of vec_id 0..7 (deterministic,
+    SQL-replicable), the same train-once pattern as ivf_ann_pretrained."""
+    from fairtracks_validator_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    return semantic_dedup(
+        emb.unionByName(clones), "vec_id", "embedding", cents, threshold=0.95
+    ).orderBy("id")
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 900000, embedding FROM embeddings WHERE vec_id < 5
+),
+v AS (
+  SELECT vec_id AS id, embedding AS vec,
+         sqrt(list_sum([ x::DOUBLE * x::DOUBLE for x in embedding ])) AS vn
+  FROM corpus
+  WHERE sqrt(list_sum([ x::DOUBLE * x::DOUBLE for x in embedding ])) > 0
+),
+cent AS (
+  SELECT vec_id::INT AS cluster, embedding AS cvec,
+         sqrt(list_sum([ x::DOUBLE * x::DOUBLE for x in embedding ])) AS cn
+  FROM embeddings WHERE vec_id < 8
+),
+asg AS (
+  SELECT id, vec, vn, cluster, centroid_sim FROM (
+    SELECT v.id, v.vec, v.vn, c.cluster,
+           round(list_sum([ v.vec[j+1]::DOUBLE * c.cvec[j+1]::DOUBLE
+                            for j in range(0, len(v.vec)) ]) / (v.vn * c.cn), 6)
+             AS centroid_sim,
+           row_number() OVER (PARTITION BY v.id ORDER BY
+             list_sum([ v.vec[j+1]::DOUBLE * c.cvec[j+1]::DOUBLE
+                        for j in range(0, len(v.vec)) ]) / (v.vn * c.cn) DESC,
+             c.cluster ASC) AS rn
+    FROM v CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+drp AS (
+  SELECT DISTINCT r.id
+  FROM asg l JOIN asg r ON l.cluster = r.cluster
+   AND (l.centroid_sim < r.centroid_sim
+        OR (l.centroid_sim = r.centroid_sim AND l.id < r.id))
+  WHERE round(list_sum([ l.vec[j+1]::DOUBLE * r.vec[j+1]::DOUBLE
+                         for j in range(0, len(l.vec)) ]) / (l.vn * r.vn), 6)
+        >= 0.95
+)
+SELECT a.id::BIGINT AS id, a.cluster::INT AS cluster, a.centroid_sim,
+       (d.id IS NULL) AS keep, FALSE AS capped
+FROM asg a LEFT JOIN drp d ON d.id = a.id
+ORDER BY a.id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2795,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "ccnet_buckets_documents": q_ccnet_buckets_documents,
         "classifier_score_documents": q_classifier_score_documents,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     }
 
 
@@ -2863,4 +2931,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob_documents": _BIGRAM_LOGPROB_SQL,
         "ccnet_buckets_documents": _CCNET_BUCKETS_SQL,
         "classifier_score_documents": _CLASSIFIER_SCORE_SQL,
+        "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
     }

@@ -811,3 +811,115 @@ def resolve_keepers(
         .withColumn("keep", F.col(id_col) == F.col("_keep_id"))
         .drop("_keep_id")
     )
+
+
+# ----------------------------------------------------------------- SemDeDup
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.9,
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — cluster with k-means, then prune
+    near-duplicate pairs WITHIN each cluster only, so the pairwise work is
+    bounded by cluster size instead of corpus size.
+
+    Returns (id, cluster, centroid_sim, keep, capped) for every non-zero
+    embedding:
+
+    - ``cluster``: nearest centroid by cosine (ties → smallest centroid id),
+      via :func:`..operators.similarity.assign_clusters` — folded Columns
+      for small codebooks, one numpy matmul per Arrow batch above
+      ``ASSIGN_FOLD_MAX``.
+    - ``centroid_sim``: cosine to the assigned centroid, rounded 6dp — the
+      paper's keep-priority (LOW similarity kept: SemDeDup §3 keeps cluster
+      *outliers* as the most diverse representatives).
+    - ``keep``: False iff some cluster-mate EARLIER in the keep order
+      (centroid_sim ASC, id ASC) has cosine ≥ ``threshold`` with this row —
+      exactly the paper's upper-triangular max over the sorted in-cluster
+      similarity matrix, which is pairwise-parallel (the suppressor's own
+      fate is irrelevant), so no iteration and no driver state.
+    - ``capped``: True for members of clusters larger than
+      ``max_cluster_size`` — those skip pair expansion (keep=True) instead
+      of going quadratic; not silent, same contract as the LSH bucket cap.
+
+    Centroids come from :func:`..operators.similarity.kmeans_fit` (train
+    once, reuse — the IVF pattern) or any pretrained codebook. Shuffles:
+    one groupBy for cluster sizes + the self-join on ``cluster`` (both
+    hash-partitioned on the same key, exchange reused); the join expands
+    pairs only within clusters, mirroring the paper's per-cluster blocking.
+    """
+    from .similarity import assign_clusters
+
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    nrm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
+    v = v.withColumn("vn", nrm).where(F.col("vn") > 0)
+
+    a = assign_clusters(v, "id", "vec", centroids).withColumn("vn", nrm)
+    for cid, cv in centroids:
+        if not any(float(x) != 0.0 for x in cv):
+            raise ValueError(f"centroid {cid} has zero norm")
+    cent = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
+        "cluster int, cvec array<double>",
+    )
+    cn = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda a_, x: a_ + x * x))
+    cent = cent.withColumn("cn", cn)
+
+    cdot = F.aggregate(
+        F.zip_with("vec", "cvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    m = (
+        a.join(F.broadcast(cent), "cluster")
+        .select(
+            "id", "cluster", "vec", "vn",
+            F.round(cdot / (F.col("vn") * F.col("cn")), 6).alias("centroid_sim"),
+        )
+    )
+    sizes = m.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
+    m = m.join(F.broadcast(sizes), "cluster").withColumn(
+        "capped", F.col("_csize") > F.lit(max_cluster_size)
+    )
+
+    small = m.where(~F.col("capped"))
+    l, r = small.alias("l"), small.alias("r")
+    earlier = (F.col("l.centroid_sim") < F.col("r.centroid_sim")) | (
+        (F.col("l.centroid_sim") == F.col("r.centroid_sim"))
+        & (F.col("l.id") < F.col("r.id"))
+    )
+    pdot = F.aggregate(
+        F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        l.join(r, "cluster")
+        .where(earlier)
+        .select(
+            F.col("r.id").alias("id"),
+            F.round(pdot / (F.col("l.vn") * F.col("r.vn")), 6).alias("_cos"),
+        )
+        .where(F.col("_cos") >= F.lit(threshold))
+        .select("id")
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        m.join(dropped, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            "centroid_sim",
+            F.col("_drop").isNull().alias("keep"),
+            "capped",
+        )
+    )

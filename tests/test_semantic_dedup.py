@@ -1,0 +1,93 @@
+"""SemDeDup — cluster-blocked semantic deduplication (Abbas et al. 2023)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fairtracks_validator_spark.operators.dedup import semantic_dedup
+
+# two well-separated clusters on the unit circle's axes
+CENTS = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+
+def test_drops_near_dup_keeps_outlier(spark):
+    # cluster 0: ids 1,2 nearly parallel (cos≈1) -> one dropped;
+    # id 3 orthogonal-ish member of cluster 1 survives alone
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.05]), (3, [0.0, 1.0])],
+        "id long, vec array<double>",
+    )
+    out = {r["id"]: r for r in
+           semantic_dedup(df, "id", "vec", CENTS, threshold=0.99).collect()}
+    # keep order is centroid_sim ASC: id 2 (slightly off-axis, LOWER sim to
+    # centroid 0) is the paper's "outlier", kept; id 1 (exactly the
+    # centroid) is suppressed by it
+    assert out[2]["keep"] is True
+    assert out[1]["keep"] is False
+    assert out[3]["keep"] is True
+    assert out[1]["cluster"] == 0 and out[3]["cluster"] == 1
+    assert all(not r["capped"] for r in out.values())
+
+
+def test_tie_on_centroid_sim_keeps_smaller_id(spark):
+    df = spark.createDataFrame(
+        [(7, [2.0, 0.0]), (9, [4.0, 0.0])],  # same direction, same cosine
+        "id long, vec array<double>",
+    )
+    out = {r["id"]: r["keep"] for r in
+           semantic_dedup(df, "id", "vec", CENTS, threshold=0.99).collect()}
+    assert out == {7: True, 9: False}
+
+
+def test_cross_cluster_pairs_never_compared(spark):
+    # identical vectors would be dups, but they sit in different clusters
+    # (assignment splits them) only if they differ; here use two vectors
+    # that are near-dups of each other but each nearest a different centroid
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.9]), (2, [0.9, 1.0])],  # cos(1,2) ≈ 0.994
+        "id long, vec array<double>",
+    )
+    out = {r["id"]: r for r in
+           semantic_dedup(df, "id", "vec", CENTS, threshold=0.99).collect()}
+    assert out[1]["cluster"] == 0 and out[2]["cluster"] == 1
+    assert out[1]["keep"] and out[2]["keep"]
+
+
+def test_capped_cluster_skips_pair_expansion(spark):
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0001 * i]) for i in range(5)],
+        "id long, vec array<double>",
+    )
+    out = semantic_dedup(df, "id", "vec", CENTS, threshold=0.9,
+                         max_cluster_size=2).collect()
+    assert all(r["capped"] for r in out)
+    assert all(r["keep"] for r in out)  # capped -> no drops, not silent
+
+
+def test_zero_vector_excluded_zero_centroid_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "id long, vec array<double>"
+    )
+    out = semantic_dedup(df, "id", "vec", CENTS).collect()
+    assert {r["id"] for r in out} == {2}
+    with pytest.raises(ValueError, match="zero norm"):
+        semantic_dedup(df, "id", "vec", [(0, [0.0, 0.0])])
+
+
+def test_composes_with_kmeans_fit(spark):
+    from fairtracks_validator_spark.operators.similarity import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pyspark.sql.functions as F
+
+    clones = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clones)
+    cents = kmeans_fit(corpus, "vec_id", "embedding", k=4, iters=2)
+    out = semantic_dedup(corpus, "vec_id", "embedding", cents, threshold=0.999)
+    dropped = {r["id"] for r in out.where("NOT keep").collect()}
+    # each planted exact clone pair loses exactly its higher-id member
+    # (tie on centroid_sim -> smaller id kept)
+    assert dropped == {900000, 900001, 900002}
+    assert out.count() == corpus.count()
