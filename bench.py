@@ -87,6 +87,12 @@ HEADLINE = [
     "trim_contam_documents",
     "winnow_passages_documents",
     "importance_sample_documents",
+    # r5b: LM scoring family (stupid-backoff bigram, CCNet terciles,
+    # fastText-shaped hashed classifier) + SemDeDup
+    "bigram_logprob_documents",
+    "ccnet_buckets_documents",
+    "classifier_score_documents",
+    "semantic_dedup_embeddings",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))
