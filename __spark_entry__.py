@@ -2798,6 +2798,71 @@ ORDER BY a.id
 """
 
 
+def q_gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table-A1 within-doc repetition: duplicate line/paragraph
+    fractions (count + character mass). The synthetic corpus is single-line,
+    so repeated-line and repeated-paragraph docs are planted (text doubled
+    with \\n / \\n\\n joints)."""
+    from fairtracks_validator_spark.functions.text import gopher_repetition
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lines_planted = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat("text", F.lit("\n"), "text").alias("text"),
+    )
+    paras_planted = docs.where(
+        (F.col("doc_id") >= 20) & (F.col("doc_id") < 40)
+    ).select(
+        (F.col("doc_id") + 810000).alias("doc_id"),
+        F.concat("text", F.lit("\n\n"), "text").alias("text"),
+    )
+    corpus = docs.unionByName(lines_planted).unionByName(paras_planted)
+    return (
+        corpus.select("doc_id", gopher_repetition("text").alias("m"))
+        .select("doc_id", "m.*")
+        .orderBy("doc_id")
+    )
+
+
+_GOPHER_REPETITION_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 800000, text || chr(10) || text
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 810000, text || chr(10) || chr(10) || text
+  FROM documents WHERE doc_id >= 20 AND doc_id < 40
+),
+base AS (SELECT doc_id, coalesce(text, '') AS t FROM corpus),
+el AS (
+  SELECT doc_id, greatest(len(t), 1)::DOUBLE AS total,
+         list_sort(list_filter(string_split(t, chr(10)),
+                               x -> trim(x) <> '')) AS sl,
+         list_sort(list_filter(string_split(t, chr(10) || chr(10)),
+                               x -> trim(x) <> '')) AS sp
+  FROM base
+),
+d AS (
+  SELECT doc_id, total, len(sl) AS nl, len(sp) AS np,
+         list_filter([CASE WHEN i > 1 AND sl[i] = sl[i-1] THEN len(sl[i]) END
+                      for i in range(1, len(sl) + 1)],
+                     x -> x IS NOT NULL) AS rl,
+         list_filter([CASE WHEN i > 1 AND sp[i] = sp[i-1] THEN len(sp[i]) END
+                      for i in range(1, len(sp) + 1)],
+                     x -> x IS NOT NULL) AS rp
+  FROM el
+)
+SELECT doc_id::BIGINT AS doc_id,
+       nl::BIGINT AS n_lines, np::BIGINT AS n_paras,
+       round(len(rl) / greatest(nl, 1), 6) AS dup_line_frac,
+       round(coalesce(list_sum(rl), 0) / total, 6) AS dup_line_char_frac,
+       round(len(rp) / greatest(np, 1), 6) AS dup_para_frac,
+       round(coalesce(list_sum(rp), 0) / total, 6) AS dup_para_char_frac
+FROM d ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2863,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets_documents": q_ccnet_buckets_documents,
         "classifier_score_documents": q_classifier_score_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "gopher_repetition_documents": q_gopher_repetition_documents,
     }
 
 
@@ -2932,4 +2998,5 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets_documents": _CCNET_BUCKETS_SQL,
         "classifier_score_documents": _CLASSIFIER_SCORE_SQL,
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
+        "gopher_repetition_documents": _GOPHER_REPETITION_SQL,
     }

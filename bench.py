@@ -93,6 +93,7 @@ HEADLINE = [
     "ccnet_buckets_documents",
     "classifier_score_documents",
     "semantic_dedup_embeddings",
+    "gopher_repetition_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))

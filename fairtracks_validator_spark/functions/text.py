@@ -328,3 +328,85 @@ def rolling_fingerprint(col, n: int = 3) -> Column:
     """Shingle-set fingerprint: lexicographic min of md5(shingle) — a
     deterministic bottom-1 sketch of the shingle set."""
     return F.array_min(F.transform(shingles(col, n), lambda s: F.md5(s)))
+
+
+def gopher_repetition(col) -> Column:
+    """Gopher's within-document repetition signals over LINES and
+    PARAGRAPHS (Rae et al. 2021, Table A1 rows 1-4):
+
+    struct(n_lines, n_paras, dup_line_frac, dup_line_char_frac,
+           dup_para_frac, dup_para_char_frac)
+
+    - elements: lines split on ``\\n``, paragraphs on ``\\n\\n`` (the
+      published recipe's separators); whitespace-only elements are excluded
+      so blank-line runs don't read as repetition.
+    - a "duplicate" is every occurrence BEYOND THE FIRST of a distinct
+      element (the reference-filter counting rule); counted with one
+      sorted-array run-length scan per row — same zero-shuffle trick as
+      ``dup_token_frac``, equal elements made adjacent by any total order.
+    - ``*_frac`` = duplicates / elements; ``*_char_frac`` = characters in
+      duplicate occurrences / len(text). All 6dp-rounded, 0.0 for docs
+      without elements.
+
+    Paired thresholds in the paper: 0.30 (line/para frac), 0.20 (char
+    fracs) — compose with a filter; this emits the signals.
+    """
+    from .expr import let_
+
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    total = F.greatest(F.length(c), F.lit(1)).cast("double")
+
+    def dup_scan(arr, out_n, out_frac, out_cfrac):
+        """n elements + dup fraction fields from one sorted run-length scan."""
+
+        def body(a):
+            def scan(s):
+                rep = F.filter(
+                    F.transform(
+                        s,
+                        lambda x, i: F.when(
+                            (i > 0) & (x == F.element_at(s, i)), F.length(x)
+                        ),
+                    ),
+                    lambda v: v.isNotNull(),
+                )
+
+                def fields(r):
+                    n = F.size(a)
+                    dups = F.size(r)
+                    chars = F.aggregate(
+                        r, F.lit(0).cast("long"), lambda acc, x: acc + x
+                    )
+                    return F.struct(
+                        n.cast("long").alias(out_n),
+                        F.round(
+                            dups / F.greatest(n, F.lit(1)).cast("double"), 6
+                        ).alias(out_frac),
+                        F.round(chars / total, 6).alias(out_cfrac),
+                    )
+
+                return let_(rep, fields)
+
+            return let_(F.array_sort(a), scan)
+
+        return let_(arr, body)
+
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    paras = F.filter(F.split(c, "\n\n"), lambda x: F.trim(x) != "")
+    lm = dup_scan(lines, "n_lines", "dup_line_frac", "dup_line_char_frac")
+    pm = dup_scan(paras, "n_paras", "dup_para_frac", "dup_para_char_frac")
+
+    def combine(l):
+        def inner(p):
+            return F.struct(
+                l["n_lines"].alias("n_lines"),
+                p["n_paras"].alias("n_paras"),
+                l["dup_line_frac"].alias("dup_line_frac"),
+                l["dup_line_char_frac"].alias("dup_line_char_frac"),
+                p["dup_para_frac"].alias("dup_para_frac"),
+                p["dup_para_char_frac"].alias("dup_para_char_frac"),
+            )
+
+        return let_(pm, inner)
+
+    return let_(lm, combine)

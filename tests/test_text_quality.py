@@ -174,3 +174,50 @@ def test_repetition_invariants_random_corpus(spark):
             assert t["top_gram"] is not None
         else:
             assert t["top_count"] == 0 and t["frac"] == 0.0
+
+
+def test_gopher_repetition_hand_cases(spark):
+    from fairtracks_validator_spark.functions.text import gopher_repetition
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c\na b c\nx y"),        # 1 dup line of 3, 5 of 15 chars
+            (2, "p one\n\np one\n\np two"),  # 1 dup para of 3
+            (3, "clean text"),
+            (4, ""),
+            (5, None),
+            (6, "x\n \nx"),                  # whitespace-only line excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", gopher_repetition("text").alias("m")
+        ).select("doc_id", "m.*").collect()
+    }
+    assert out[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[1]["dup_line_char_frac"] == pytest.approx(5 / 15, abs=1e-6)
+    assert out[1]["dup_para_frac"] == 0.0
+    assert out[2]["n_paras"] == 3
+    assert out[2]["dup_para_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["dup_para_char_frac"] == pytest.approx(5 / 19, abs=1e-6)
+    for empty in (3, 4, 5):
+        assert out[empty]["dup_line_frac"] == 0.0
+        assert out[empty]["dup_para_frac"] == 0.0
+    assert out[6]["n_lines"] == 2           # blank middle line excluded
+    assert out[6]["dup_line_frac"] == 0.5
+    assert out[6]["dup_line_char_frac"] == pytest.approx(1 / 5, abs=1e-6)
+
+
+def test_gopher_repetition_beyond_first_counting(spark):
+    # k occurrences of one line -> k-1 duplicates (not k, not 1)
+    from fairtracks_validator_spark.functions.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(1, "dup\ndup\ndup\ndup\nuniq")], "doc_id long, text string"
+    )
+    r = df.select(gopher_repetition("text").alias("m")).select("m.*").collect()[0]
+    assert r["n_lines"] == 5
+    assert r["dup_line_frac"] == pytest.approx(3 / 5, abs=1e-6)
