@@ -2863,6 +2863,35 @@ FROM d ORDER BY doc_id
 """
 
 
+def q_cap_per_group_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-group quota: at most 50 docs per lang, chosen
+    by deterministic md5 priority; under-quota groups skip the rank window
+    (skew-aware two-phase plan)."""
+    from fairtracks_validator_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        cap_per_group(docs, "lang", "doc_id", cap=50, seed="cap")
+        .select("doc_id", "lang", "keep")
+        .orderBy("doc_id")
+    )
+
+
+_CAP_PER_GROUP_SQL = """
+WITH sizes AS (SELECT lang, count(*) AS g FROM documents GROUP BY 1),
+r AS (
+  SELECT d.doc_id, d.lang, s.g,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(d.doc_id::VARCHAR || '|cap') ASC, d.doc_id ASC
+         ) AS rn
+  FROM documents d JOIN sizes s USING (lang)
+)
+SELECT doc_id::BIGINT AS doc_id, lang, (g <= 50 OR rn <= 50) AS keep
+FROM r ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2929,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score_documents": q_classifier_score_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "gopher_repetition_documents": q_gopher_repetition_documents,
+        "cap_per_group_documents": q_cap_per_group_documents,
     }
 
 
@@ -2999,4 +3029,5 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score_documents": _CLASSIFIER_SCORE_SQL,
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "gopher_repetition_documents": _GOPHER_REPETITION_SQL,
+        "cap_per_group_documents": _CAP_PER_GROUP_SQL,
     }

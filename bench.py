@@ -94,6 +94,7 @@ HEADLINE = [
     "classifier_score_documents",
     "semantic_dedup_embeddings",
     "gopher_repetition_documents",
+    "cap_per_group_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))

@@ -189,3 +189,42 @@ def temperature_rates(
             break
         scale = remaining / free_w
     return rates
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    seed: str = "",
+) -> DataFrame:
+    """Per-group document quota (the RefinedWeb/C4 per-domain cap): keep at
+    most ``cap`` rows per group, chosen deterministically by
+    (md5(id|seed) ASC, id ASC) — a re-runnable uniform draw, not "first
+    cap rows seen" (which is partition-order-dependent).
+
+    Returns the input columns + ``keep`` boolean (the violation-row
+    convention: callers filter or report).
+
+    Skew-aware two-phase plan: a map-combined group count first, then ONLY
+    rows of groups larger than ``cap`` go through the row_number window —
+    under-quota groups (the overwhelming majority of domains in a web
+    corpus) skip the per-group sort entirely. The count and the window
+    hash-partition on the same key, so AQE reuses the exchange; the hot
+    domains that do rank are exactly the rows the window must sort anyway.
+    A plain corpus-wide window would sort 10^12 rows to keep ranks the
+    under-quota groups never use.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    from pyspark.sql import Window
+
+    pri = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + seed)))
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsize"))
+    j = df.join(sizes, group_col)
+
+    under = j.where(F.col("_gsize") <= cap).withColumn("keep", F.lit(True))
+    over = j.where(F.col("_gsize") > cap)
+    w = Window.partitionBy(group_col).orderBy(pri.asc(), F.col(id_col).asc())
+    over = over.withColumn("keep", F.row_number().over(w) <= cap)
+    return under.unionByName(over).drop("_gsize")

@@ -188,3 +188,47 @@ def test_temperature_rates_water_filling_cap():
     # degenerate inputs
     assert temperature_rates({}, 0.5, 100) == {}
     assert temperature_rates(counts, 0.5, 0) == {"big": 0.0, "tiny": 0.0}
+
+
+def test_cap_per_group_semantics(spark):
+    from fairtracks_validator_spark.operators.sampling import cap_per_group
+    import pyspark.sql.functions as F
+
+    rows = [(i, "big") for i in range(10)] + [(100, "small"), (101, "small")]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = cap_per_group(df, "domain", "doc_id", cap=3)
+    kept = out.where("keep").groupBy("domain").count().collect()
+    assert {r["domain"]: r["count"] for r in kept} == {"big": 3, "small": 2}
+    # all rows present, keep is a flag not a filter
+    assert out.count() == 12
+    # under-quota group entirely kept
+    assert out.where("domain = 'small' AND NOT keep").count() == 0
+
+
+def test_cap_per_group_deterministic_and_partition_invariant(spark):
+    from fairtracks_validator_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "d") for i in range(50)], "doc_id long, domain string"
+    )
+    a = {r["doc_id"] for r in
+         cap_per_group(df, "domain", "doc_id", 10).where("keep").collect()}
+    b = {r["doc_id"] for r in
+         cap_per_group(df.repartition(7), "domain", "doc_id", 10)
+         .where("keep").collect()}
+    assert a == b and len(a) == 10
+    # different seed -> (almost surely) different winners
+    c = {r["doc_id"] for r in
+         cap_per_group(df, "domain", "doc_id", 10, seed="x")
+         .where("keep").collect()}
+    assert c != a
+
+
+def test_cap_per_group_edge_caps(spark):
+    from fairtracks_validator_spark.operators.sampling import cap_per_group
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "d"), (2, "d")], "doc_id long, domain string")
+    assert cap_per_group(df, "domain", "doc_id", 0).where("keep").count() == 0
+    with _pytest.raises(ValueError, match="cap must be"):
+        cap_per_group(df, "domain", "doc_id", -1)
