@@ -2892,6 +2892,92 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_url_blocklist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb URL blocklist pre-filter over the same deterministic
+    messy-URL family as url_canonical: one eTLD+1 entry blocks every
+    subdomain ('domain'), one exact-host entry blocks a single subdomain
+    ('host'); everything else keeps."""
+    from fairtracks_validator_spark.operators.urlfilter import (
+        url_blocklist_filter,
+    )
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Site"), (did % 50).cast("string"),
+        F.when(did % 4 == 0, F.lit(".CO.UK")).otherwise(F.lit(".Example.COM")),
+        F.when(did % 3 == 0, F.lit(":80"))
+         .when(did % 3 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/p/"), (did % 7).cast("string"))
+        ),
+        F.when(did % 2 == 0, F.concat(
+            F.lit("?utm_source=x&b="), (did % 9).cast("string"), F.lit("&a=1")
+        )).when(did % 6 == 1, F.lit("?z=1")).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    df = _t(spark, sf_dir, "documents").select(did.alias("doc_id"),
+                                               url.alias("url"))
+    out = url_blocklist_filter(
+        df, "url",
+        ["site4.co.uk", "site28.co.uk", "www.site13.example.com"],
+    )
+    return out.select("doc_id", "blocked_by", "keep").orderBy("doc_id")
+
+
+def _url_blocklist_sql() -> str:
+    from fairtracks_validator_spark.functions.url import TWO_LEVEL_SUFFIXES
+
+    sufs = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '.CO.UK' ELSE '.Example.COM' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ''
+             ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END)
+    || (CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=x&b=' || CAST(doc_id % 9 AS VARCHAR) || '&a=1'
+             WHEN doc_id % 6 = 1 THEN '?z=1' ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS u0
+  FROM documents
+),
+x AS (
+  SELECT doc_id,
+    regexp_replace(
+      lower(regexp_extract(u0,
+        '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?@]*@)?([^/?@]*)', 1)),
+      ':[0-9]+$', '') AS h
+  FROM d
+),
+y AS (
+  SELECT doc_id, h, string_split(h, '.') AS parts FROM x
+),
+z AS (
+  SELECT doc_id, h,
+    (CASE WHEN len(parts) >= 3
+               AND concat_ws('.', parts[-2], parts[-1]) IN ({sufs})
+          THEN concat_ws('.', parts[-3], parts[-2], parts[-1])
+          WHEN len(parts) >= 2 THEN concat_ws('.', parts[-2], parts[-1])
+          ELSE h END) AS dom
+  FROM y
+)
+SELECT doc_id::BIGINT AS doc_id,
+  (CASE WHEN h IN ('site4.co.uk', 'site28.co.uk', 'www.site13.example.com')
+        THEN 'host'
+        WHEN dom IN ('site4.co.uk', 'site28.co.uk', 'www.site13.example.com')
+        THEN 'domain' END) AS blocked_by,
+  (CASE WHEN h IN ('site4.co.uk', 'site28.co.uk', 'www.site13.example.com')
+             OR dom IN ('site4.co.uk', 'site28.co.uk',
+                        'www.site13.example.com')
+        THEN FALSE ELSE TRUE END) AS keep
+FROM z ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2959,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "gopher_repetition_documents": q_gopher_repetition_documents,
         "cap_per_group_documents": q_cap_per_group_documents,
+        "url_blocklist_documents": q_url_blocklist_documents,
     }
 
 
@@ -3030,4 +3117,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "gopher_repetition_documents": _GOPHER_REPETITION_SQL,
         "cap_per_group_documents": _CAP_PER_GROUP_SQL,
+        "url_blocklist_documents": _url_blocklist_sql(),
     }

@@ -95,6 +95,7 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "gopher_repetition_documents",
     "cap_per_group_documents",
+    "url_blocklist_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))
