@@ -821,6 +821,7 @@ def semantic_dedup(
     centroids: list[tuple[int, list[float]]],
     threshold: float = 0.9,
     max_cluster_size: int = 100_000,
+    pairs_backend: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedding corpus — cluster with k-means, then prune
@@ -848,9 +849,23 @@ def semantic_dedup(
 
     Centroids come from :func:`..operators.similarity.kmeans_fit` (train
     once, reuse — the IVF pattern) or any pretrained codebook. Shuffles:
-    one groupBy for cluster sizes + the self-join on ``cluster`` (both
-    hash-partitioned on the same key, exchange reused); the join expands
-    pairs only within clusters, mirroring the paper's per-cluster blocking.
+    one groupBy for cluster sizes + one cluster-keyed exchange for the
+    in-cluster pair scoring; pairs only expand within clusters, mirroring
+    the paper's per-cluster blocking.
+
+    ``pairs_backend`` picks the in-cluster scorer:
+
+    - ``'arrow'`` (default, the paper's shape): one ``applyInPandas`` per
+      cluster, normalized matrix × chunked transposed blocks — dense BLAS,
+      ~100× the interpreted path on real dims; peak block memory is capped
+      (~80 MB) independent of cluster size. Cross-dimension rows are
+      compared only within equal dims (a mismatched-dim cosine is
+      undefined — same contract as ``embedding_neardup_pairs``).
+    - ``'hof'``: the pure-Column self-join with higher-order-function dot
+      products — zero Python, exact SQL-oracle twin; interpreted HOF
+      evaluation makes it the correctness/hermetic tool, not the scale
+      path. Both backends produce identical keep sets (6dp-rounded
+      comparisons; parity-tested).
     """
     from .similarity import assign_clusters
 
@@ -884,6 +899,12 @@ def semantic_dedup(
             "id", "cluster", "vec", "vn",
             F.round(cdot / (F.col("vn") * F.col("cn")), 6).alias("centroid_sim"),
         )
+        # lazy localCheckpoint: the assignment (k folded dot products per
+        # row) feeds FOUR consumers (size agg, both pair-join sides, the
+        # final output join) — without it Catalyst re-evaluates the whole
+        # expression chain per consumer, and AQE has no runtime stats to
+        # broadcast the (small) dropped-id side of the final join.
+        .localCheckpoint(eager=False)
     )
     sizes = m.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
     m = m.join(F.broadcast(sizes), "cluster").withColumn(
@@ -891,28 +912,33 @@ def semantic_dedup(
     )
 
     small = m.where(~F.col("capped"))
-    l, r = small.alias("l"), small.alias("r")
-    earlier = (F.col("l.centroid_sim") < F.col("r.centroid_sim")) | (
-        (F.col("l.centroid_sim") == F.col("r.centroid_sim"))
-        & (F.col("l.id") < F.col("r.id"))
-    )
-    pdot = F.aggregate(
-        F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dropped = (
-        l.join(r, "cluster")
-        .where(earlier)
-        .select(
-            F.col("r.id").alias("id"),
-            F.round(pdot / (F.col("l.vn") * F.col("r.vn")), 6).alias("_cos"),
+    if pairs_backend == "arrow":
+        dropped = _semantic_dropped_arrow(small, threshold)
+    elif pairs_backend == "hof":
+        l, r = small.alias("l"), small.alias("r")
+        earlier = (F.col("l.centroid_sim") < F.col("r.centroid_sim")) | (
+            (F.col("l.centroid_sim") == F.col("r.centroid_sim"))
+            & (F.col("l.id") < F.col("r.id"))
         )
-        .where(F.col("_cos") >= F.lit(threshold))
-        .select("id")
-        .distinct()
-        .withColumn("_drop", F.lit(True))
-    )
+        pdot = F.aggregate(
+            F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dropped = (
+            l.join(r, "cluster")
+            .where(earlier)
+            .select(
+                F.col("r.id").alias("id"),
+                F.round(pdot / (F.col("l.vn") * F.col("r.vn")), 6).alias("_cos"),
+            )
+            .where(F.col("_cos") >= F.lit(threshold))
+            .select("id")
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown pairs_backend {pairs_backend!r}")
+    dropped = dropped.withColumn("_drop", F.lit(True))
     return (
         m.join(dropped, "id", "left")
         .select(
@@ -923,3 +949,43 @@ def semantic_dedup(
             "capped",
         )
     )
+
+
+def _semantic_dropped_arrow(small: DataFrame, threshold: float) -> DataFrame:
+    """Dropped ids per cluster via one grouped-pandas matmul (the SemDeDup
+    paper's dense per-cluster similarity pass).
+
+    Sorted keep order (centroid_sim ASC, id ASC — ids unique, so sorted
+    position order ≡ the HOF path's strict lexicographic 'earlier'); row j
+    drops iff max(round(S[:j, j], 6)) ≥ threshold. The n×n matrix never
+    materializes: column blocks of ≤10^7 cells (~80 MB) bound peak memory
+    independent of cluster size. Rows whose vectors differ in dimension
+    are compared only within equal dims (a mismatched-dim cosine is NULL
+    in the HOF twin — never a drop — so the backends agree)."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out: list[int] = []
+        for _, grp in pdf.groupby(pdf["vec"].map(len), sort=False):
+            g = grp.sort_values(
+                ["centroid_sim", "id"], kind="mergesort"
+            ).reset_index(drop=True)
+            n = len(g)
+            if n < 2:
+                continue
+            vm = np.asarray(g["vec"].tolist(), dtype=np.float64)
+            vm = vm / g["vn"].to_numpy(dtype=np.float64)[:, None]
+            ids = g["id"].to_numpy()
+            chunk = max(1, 10_000_000 // n)
+            for s in range(1, n, chunk):
+                e = min(s + chunk, n)
+                sim = np.round(vm @ vm[s:e].T, 6)
+                for j in range(s, e):
+                    if sim[:j, j - s].max() >= threshold:
+                        out.append(int(ids[j]))
+        return pd.DataFrame({"id": pd.Series(out, dtype="int64")})
+
+    return small.select("id", "cluster", "vec", "vn", "centroid_sim").groupBy(
+        "cluster"
+    ).applyInPandas(per_cluster, "id long")

@@ -91,3 +91,42 @@ def test_composes_with_kmeans_fit(spark):
     # (tie on centroid_sim -> smaller id kept)
     assert dropped == {900000, 900001, 900002}
     assert out.count() == corpus.count()
+
+
+def test_backends_agree_and_validate(spark):
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    clones = emb.where(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones.withColumn("label", F.lit(None).cast("string")))
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.where("vec_id < 6").collect()]
+    a = sorted(
+        (r["id"], r["keep"], r["cluster"])
+        for r in semantic_dedup(corpus, "vec_id", "embedding", cents, 0.95,
+                                pairs_backend="arrow").collect()
+    )
+    h = sorted(
+        (r["id"], r["keep"], r["cluster"])
+        for r in semantic_dedup(corpus, "vec_id", "embedding", cents, 0.95,
+                                pairs_backend="hof").collect()
+    )
+    assert a == h
+    assert sum(1 for _, k, _ in a if not k) == 4  # the planted clones
+    with pytest.raises(ValueError, match="pairs_backend"):
+        semantic_dedup(corpus, "vec_id", "embedding", cents,
+                       pairs_backend="nope")
+
+
+def test_arrow_backend_mixed_dims_no_cross_dim_drop(spark):
+    # a 2-dim and a 3-dim vector can never suppress each other (their
+    # cosine is undefined); same-dim dup still drops
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [2.0, 0.0])],
+        "id long, vec array<double>",
+    )
+    out = {r["id"]: r["keep"] for r in
+           semantic_dedup(df, "id", "vec", CENTS, threshold=0.99).collect()}
+    assert out == {1: True, 2: True, 3: False}
