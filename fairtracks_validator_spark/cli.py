@@ -275,6 +275,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--line-dedup-min-count", type=int, default=None,
                    help="strip corpus-wide duplicated lines (first-writer "
                         "keep) before the quality gate; off by default")
+    p.add_argument("--url-col", default=None,
+                   help="URL column for --blocklist matching")
+    p.add_argument("--blocklist", default=None,
+                   help="newline-separated host/registered-domain blocklist "
+                        "file (C4/RefinedWeb pre-filter); rows matching by "
+                        "exact host or eTLD+1 drop before any content work")
 
     d = sub.add_parser(
         "dedup",
@@ -527,6 +533,22 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.pipeline import prepare_training_corpus
         from .sources.tables import read_table, write_table
 
+        if (args.blocklist is None) != (args.url_col is None):
+            print("--blocklist and --url-col must be given together",
+                  file=sys.stderr)
+            return 2
+        blocked = None
+        if args.blocklist is not None:
+            with open(args.blocklist) as f:
+                entries = [ln.strip().lower() for ln in f if ln.strip()]
+            from .operators.urlfilter import URL_BLOCK_FOLD_MAX
+
+            blocked = (
+                entries
+                if len(entries) <= URL_BLOCK_FOLD_MAX
+                else spark.createDataFrame([(e,) for e in entries],
+                                           "domain string")
+            )
         out = prepare_training_corpus(
             read_table(spark, args.input),
             args.id_col,
@@ -537,6 +559,8 @@ def main(argv: list[str] | None = None) -> int:
             val_frac=args.val_frac,
             seed=args.seed,
             line_dedup_min_count=args.line_dedup_min_count,
+            url_col=args.url_col,
+            url_blocklist=blocked,
         )
         write_table(out, args.out, mode="overwrite")
         from .sources.tables import is_catalog_table

@@ -36,6 +36,8 @@ def prepare_training_corpus(
     min_stop_hits: int = 2,
     line_dedup_min_count: int | None = None,
     line_sep: str = "\n",
+    url_col: str | None = None,
+    url_blocklist: "list[str] | DataFrame | None" = None,
 ) -> DataFrame:
     """Filter → dedup → sample → split; returns surviving rows with a
     ``split`` column. Deterministic end-to-end: re-runs, resumes, and
@@ -52,7 +54,22 @@ def prepare_training_corpus(
     stripped this way both changes the gate metrics and shrinks what the
     doc-level dedup hashes. Costs the line-grain digest aggregation plus
     an id-keyed rejoin of the rebuilt text, on top of the pipeline's one
-    shuffle — leave ``None`` to keep the single-shuffle plan."""
+    shuffle — leave ``None`` to keep the single-shuffle plan.
+
+    ``url_col`` + ``url_blocklist``: the C4/RefinedWeb pre-filter —
+    blocked hosts/registered-domains drop FIRST, before any content work
+    (:func:`..operators.urlfilter.url_blocklist_filter`). Folded-list or
+    broadcast-join either way: map-only, the single-shuffle plan holds."""
+    if (url_col is None) != (url_blocklist is None):
+        raise ValueError("url_col and url_blocklist must be set together")
+    if url_blocklist is not None:
+        from .urlfilter import url_blocklist_filter
+
+        df = (
+            url_blocklist_filter(df, url_col, url_blocklist)
+            .where(F.col("keep"))
+            .drop("blocked_by", "keep")
+        )
     if line_dedup_min_count is not None:
         from .lines import dedup_lines_text
 

@@ -80,3 +80,52 @@ def test_df_path_broadcasts(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_blocklist_stage(spark):
+    from fairtracks_validator_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog on a sunny day "
+            "in town with the old friends and a warm meal for everyone "
+            "at the long table near the river bank")
+    rows = [
+        (f"https://ok{i}.org/p", good + f" tail{i}") for i in range(4)
+    ] + [("https://spam.bad.net/x", good + " tailspam")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = prepare_training_corpus(
+        df, "url", "text", min_words=10, sample_rate=1.0, val_frac=0.25,
+        min_stop_hits=1, url_col="url", url_blocklist=["bad.net"],
+    )
+    urls = {r["url"] for r in out.collect()}
+    assert "https://spam.bad.net/x" not in urls
+    assert len(urls) == 4
+    with pytest.raises(ValueError, match="together"):
+        prepare_training_corpus(df, "url", "text", url_col="url")
+
+
+def test_cli_prepare_blocklist(spark, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    good = ("the quick brown fox jumps over the lazy dog on a sunny day "
+            "in town with the old friends and a warm meal for everyone")
+    rows = [(f"https://ok{i}.org/p", good + f" tail{i}") for i in range(3)]
+    rows.append(("https://x.blocked.io/y", good + " tailblocked"))
+    spark.createDataFrame(rows, "url string, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "in"))
+    bl = tmp_path / "bl.txt"
+    bl.write_text("blocked.io\n\n# not-a-comment-syntax but harmless\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "fairtracks_validator_spark.cli", "prepare",
+         "--input", str(tmp_path / "in"), "--out", str(tmp_path / "out"),
+         "--id-col", "url", "--min-words", "10", "--min-stop-hits", "1",
+         "--url-col", "url", "--blocklist", str(bl)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["rows"] == 3
