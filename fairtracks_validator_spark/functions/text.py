@@ -391,8 +391,11 @@ def gopher_repetition(col) -> Column:
 
         return let_(arr, body)
 
-    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
-    paras = F.filter(F.split(c, "\n\n"), lambda x: F.trim(x) != "")
+    # blank test is \s-aware: F.trim strips ONLY spaces, so an element like
+    # "\n" or "\t" would otherwise count as content (hypothesis-found)
+    blank = r"^\s*$"
+    lines = F.filter(F.split(c, "\n"), lambda x: ~x.rlike(blank))
+    paras = F.filter(F.split(c, "\n\n"), lambda x: ~x.rlike(blank))
     lm = dup_scan(lines, "n_lines", "dup_line_frac", "dup_line_char_frac")
     pm = dup_scan(paras, "n_paras", "dup_para_frac", "dup_para_char_frac")
 
