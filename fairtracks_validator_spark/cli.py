@@ -295,6 +295,19 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--bands", type=int, default=4)
     d.add_argument("--shingle-n", type=int, default=3)
 
+    sd = sub.add_parser(
+        "semdedup",
+        help="SemDeDup: k-means cluster embeddings, prune cosine>=t within clusters",
+    )
+    sd.add_argument("--input", required=True, help="parquet path / table")
+    sd.add_argument("--out", required=True, help="output parquet path / table")
+    sd.add_argument("--id-col", default="vec_id", help="numeric id column")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--k", type=int, default=64, help="k-means clusters")
+    sd.add_argument("--iters", type=int, default=2, help="Lloyd rounds")
+    sd.add_argument("--threshold", type=float, default=0.95, help="cosine cutoff")
+    sd.add_argument("--max-cluster-size", type=int, default=100_000)
+
     x = sub.add_parser(
         "expect",
         help="table expectations: N declarative rules, ONE aggregation pass",
@@ -526,6 +539,43 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "cluster_members": agg["members"],
             "dropped": agg["dropped"] or 0,
+        }))
+        return 0
+
+    if args.cmd == "semdedup":
+        from .operators.dedup import semantic_dedup
+        from .operators.similarity import kmeans_fit
+        from .sources.tables import is_catalog_table, read_table, write_table
+
+        emb = read_table(spark, args.input)
+        id_type = dict(emb.dtypes).get(args.id_col)
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            print(f"ERROR: --id-col {args.id_col} must be numeric "
+                  f"(got {id_type}); SemDeDup orders keeps by id",
+                  file=sys.stderr)
+            return 2
+        cents = kmeans_fit(
+            emb, args.id_col, args.vec_col, k=args.k, iters=args.iters
+        )
+        out = semantic_dedup(
+            emb, args.id_col, args.vec_col, cents,
+            threshold=args.threshold, max_cluster_size=args.max_cluster_size,
+        )
+        write_table(out, args.out, mode="overwrite")
+        written = (
+            read_table(spark, args.out)
+            if ("/" in args.out or is_catalog_table(spark, args.out))
+            else out
+        )
+        agg = written.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+            F.sum(F.col("capped").cast("long")).alias("capped"),
+        ).first()
+        print(json.dumps({
+            "rows": agg["rows"],
+            "dropped": agg["dropped"] or 0,
+            "capped_members": agg["capped"] or 0,
         }))
         return 0
 

@@ -130,3 +130,48 @@ def test_arrow_backend_mixed_dims_no_cross_dim_drop(spark):
     out = {r["id"]: r["keep"] for r in
            semantic_dedup(df, "id", "vec", CENTS, threshold=0.99).collect()}
     assert out == {1: True, 2: True, 3: False}
+
+
+def test_cli_semdedup_subcommand(spark, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    clones = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding", "label"
+    )
+    emb.unionByName(clones).write.mode("overwrite").parquet(
+        str(tmp_path / "emb")
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "fairtracks_validator_spark.cli", "semdedup",
+         "--input", str(tmp_path / "emb"), "--out", str(tmp_path / "out"),
+         "--k", "4", "--threshold", "0.999"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["rows"] == 503
+    assert payload["dropped"] == 3          # the planted exact clones
+    assert payload["capped_members"] == 0
+    kept = spark.read.parquet(str(tmp_path / "out"))
+    assert kept.where("NOT keep").count() == 3
+
+
+def test_cli_semdedup_rejects_string_id(spark, tmp_path):
+    import subprocess
+    import sys
+
+    spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "emb"))
+    r = subprocess.run(
+        [sys.executable, "-m", "fairtracks_validator_spark.cli", "semdedup",
+         "--input", str(tmp_path / "emb"), "--out", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2
+    assert "must be numeric" in r.stderr
