@@ -220,11 +220,16 @@ def cap_per_group(
     from pyspark.sql import Window
 
     pri = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + seed)))
-    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsize"))
-    j = df.join(sizes, group_col)
+    # NULL groups are a real stratum (urls with no parseable domain): an
+    # equi-join back on the raw group column would silently DROP those rows
+    # (null != null in joins) — count and rejoin on a coalesced surrogate.
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    keyed = df.withColumn("_gkey", gkey)
+    sizes = keyed.groupBy("_gkey").agg(F.count(F.lit(1)).alias("_gsize"))
+    j = keyed.join(sizes, "_gkey")
 
     under = j.where(F.col("_gsize") <= cap).withColumn("keep", F.lit(True))
     over = j.where(F.col("_gsize") > cap)
-    w = Window.partitionBy(group_col).orderBy(pri.asc(), F.col(id_col).asc())
+    w = Window.partitionBy("_gkey").orderBy(pri.asc(), F.col(id_col).asc())
     over = over.withColumn("keep", F.row_number().over(w) <= cap)
-    return under.unionByName(over).drop("_gsize")
+    return under.unionByName(over).drop("_gkey", "_gsize")

@@ -304,11 +304,17 @@ def ccnet_buckets(
     ``head``  : score ≥ cutoff(cuts[1]); ``middle``: ≥ cutoff(cuts[0]).
     """
     lo, hi = cuts
-    cutoffs = scored.groupBy(lang_col).agg(
+    # NULL-language docs form their own stratum: an equi-join back on the
+    # raw lang column would silently DROP them (null != null in joins), so
+    # group and rejoin on a coalesced surrogate key instead.
+    keyed = scored.withColumn(
+        "_lkey", F.coalesce(F.col(lang_col).cast("string"), F.lit("\x00null"))
+    )
+    cutoffs = keyed.groupBy("_lkey").agg(
         F.round(F.percentile(F.col(score_col), F.lit(lo)), 6).alias("_c_lo"),
         F.round(F.percentile(F.col(score_col), F.lit(hi)), 6).alias("_c_hi"),
     )
-    out = scored.join(F.broadcast(cutoffs), lang_col)
+    out = keyed.join(F.broadcast(cutoffs), "_lkey")
     bucket = (
         F.when(F.col(score_col) >= F.col("_c_hi"), F.lit("head"))
         .when(F.col(score_col) >= F.col("_c_lo"), F.lit("middle"))

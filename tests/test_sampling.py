@@ -232,3 +232,14 @@ def test_cap_per_group_edge_caps(spark):
     assert cap_per_group(df, "domain", "doc_id", 0).where("keep").count() == 0
     with _pytest.raises(ValueError, match="cap must be"):
         cap_per_group(df, "domain", "doc_id", -1)
+
+
+def test_cap_per_group_null_group_not_dropped(spark):
+    from fairtracks_validator_spark.operators.sampling import cap_per_group
+
+    rows = [(i, None) for i in range(5)] + [(10, "d"), (11, "d")]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = cap_per_group(df, "domain", "doc_id", cap=2)
+    assert out.count() == 7                      # null stratum survives
+    kept_null = out.where("domain IS NULL AND keep").count()
+    assert kept_null == 2                        # capped like any group

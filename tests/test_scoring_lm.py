@@ -162,3 +162,14 @@ def test_lm_paths_have_no_python_udf(spark):
         df, "doc_id", "text", max_vocab=8, max_bigrams=8
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+
+
+def test_ccnet_buckets_null_lang_not_dropped(spark):
+    rows = [(i, None, float(-i)) for i in range(1, 7)]
+    rows += [(100, "en", -1.0), (101, "en", -2.0), (102, "en", -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, logprob double")
+    out = ccnet_buckets(df, "doc_id", "logprob", "lang")
+    assert out.count() == 9                      # null stratum survives
+    nulls = {r["doc_id"]: r["bucket"] for r in out.where("lang IS NULL").collect()}
+    assert sorted(nulls.values()) == ["head", "head", "middle", "middle",
+                                      "tail", "tail"]
