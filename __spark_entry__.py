@@ -2948,7 +2948,7 @@ WITH d AS (
 x AS (
   SELECT doc_id,
     regexp_replace(
-      lower(regexp_extract(u0,
+      lower(regexp_extract(regexp_replace(trim(u0), '#.*$', ''),
         '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?@]*@)?([^/?@]*)', 1)),
       ':[0-9]+$', '') AS h
   FROM d

@@ -19,3 +19,15 @@ def let_(bound_expr: Column, body) -> Column:
     is a cheap bound reference. Works for any data type, including structs.
     """
     return F.element_at(F.transform(F.array(bound_expr), body), 1)
+
+
+def null_safe_group_key(col: Column) -> Column:
+    """Grouping/rejoin surrogate that keeps NULL as a real stratum.
+
+    Equi-joins drop NULL keys (null != null), so operators that aggregate
+    per group and join the result back would silently lose every NULL-group
+    row. Coalescing onto a sentinel that no cast-to-string value can equal
+    (a leading NUL byte) keeps the stratum intact; the original column
+    passes through untouched for output.
+    """
+    return F.coalesce(col.cast("string"), F.lit("\x00null"))

@@ -101,6 +101,11 @@ def registered_domain(host: Column) -> Column:
 
 
 def url_host(u: Column) -> Column:
-    """The (lowercased, port-stripped) host of an absolute URL, '' if none."""
-    return F.lower(F.regexp_replace(F.regexp_extract(u, _HOST_RE, 1),
+    """The (lowercased, port-stripped) host of an absolute URL, '' if none.
+
+    Trims and strips the fragment FIRST: ``https://host#frag`` has no path,
+    so ``_HOST_RE``'s ``[^/?@]*`` would otherwise swallow ``#frag`` into the
+    host — a blocklist bypass (code-review r5)."""
+    u2 = F.regexp_replace(F.trim(u), "#.*$", "")
+    return F.lower(F.regexp_replace(F.regexp_extract(u2, _HOST_RE, 1),
                                     ":[0-9]+$", ""))

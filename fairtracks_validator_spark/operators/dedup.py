@@ -867,14 +867,16 @@ def semantic_dedup(
       path. Both backends produce identical keep sets (6dp-rounded
       comparisons; parity-tested).
     """
-    from .similarity import assign_clusters
+    from .similarity import _dot, assign_clusters
 
     spark = df.sparkSession
     v = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    nrm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
+    # raw (unclamped) norm on purpose: zero vectors are EXCLUDED here,
+    # not silently scored as cosine 0 like similarity._norm's clamp does
+    nrm = F.sqrt(_dot("vec", "vec"))
     v = v.withColumn("vn", nrm).where(F.col("vn") > 0)
 
     a = assign_clusters(v, "id", "vec", centroids).withColumn("vn", nrm)
@@ -885,14 +887,9 @@ def semantic_dedup(
         [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
         "cluster int, cvec array<double>",
     )
-    cn = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda a_, x: a_ + x * x))
-    cent = cent.withColumn("cn", cn)
+    cent = cent.withColumn("cn", F.sqrt(_dot("cvec", "cvec")))
 
-    cdot = F.aggregate(
-        F.zip_with("vec", "cvec", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    cdot = _dot("vec", "cvec")
     m = (
         a.join(F.broadcast(cent), "cluster")
         .select(
@@ -920,11 +917,7 @@ def semantic_dedup(
             (F.col("l.centroid_sim") == F.col("r.centroid_sim"))
             & (F.col("l.id") < F.col("r.id"))
         )
-        pdot = F.aggregate(
-            F.zip_with(F.col("l.vec"), F.col("r.vec"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        pdot = _dot(F.col("l.vec"), F.col("r.vec"))
         dropped = (
             l.join(r, "cluster")
             .where(earlier)
@@ -955,15 +948,23 @@ def _semantic_dropped_arrow(small: DataFrame, threshold: float) -> DataFrame:
     """Dropped ids per cluster via one grouped-pandas matmul (the SemDeDup
     paper's dense per-cluster similarity pass).
 
-    Sorted keep order (centroid_sim ASC, id ASC — ids unique, so sorted
-    position order ≡ the HOF path's strict lexicographic 'earlier'); row j
-    drops iff max(round(S[:j, j], 6)) ≥ threshold. The n×n matrix never
-    materializes: column blocks of ≤10^7 cells (~80 MB) bound peak memory
-    independent of cluster size. Rows whose vectors differ in dimension
-    are compared only within equal dims (a mismatched-dim cosine is NULL
-    in the HOF twin — never a drop — so the backends agree)."""
+    Sorted keep order (centroid_sim ASC, id ASC); row j drops iff some row
+    with a STRICTLY smaller (centroid_sim, id) key has round(cos, 6) ≥
+    threshold — rows sharing the exact key (duplicate ids) suppress
+    neither, matching the HOF twin's strict 'earlier' predicate (the
+    output join still fans out on duplicate ids; ids are expected unique).
+    Rounding is sign-aware half-AWAY-from-zero — Spark's F.round and
+    DuckDB's round(), NOT numpy's banker's rounding — so a threshold-
+    boundary cosine buckets identically on every path. The n×n matrix
+    never materializes: column blocks of ≤10^7 cells (~80 MB) bound peak
+    memory independent of cluster size. Rows whose vectors differ in
+    dimension are compared only within equal dims (a mismatched-dim cosine
+    is NULL in the HOF twin — never a drop — so the backends agree)."""
     import numpy as np
     import pandas as pd
+
+    def round_half_away(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
     def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
         out: list[int] = []
@@ -977,12 +978,21 @@ def _semantic_dropped_arrow(small: DataFrame, threshold: float) -> DataFrame:
             vm = np.asarray(g["vec"].tolist(), dtype=np.float64)
             vm = vm / g["vn"].to_numpy(dtype=np.float64)[:, None]
             ids = g["id"].to_numpy()
+            # first occurrence index of each row's (centroid_sim, id) key:
+            # the strict-less prefix ends there, not at the row itself
+            sims = g["centroid_sim"].to_numpy()
+            new_key = np.ones(n, dtype=bool)
+            new_key[1:] = (sims[1:] != sims[:-1]) | (ids[1:] != ids[:-1])
+            first_idx = np.maximum.accumulate(
+                np.where(new_key, np.arange(n), 0)
+            )
             chunk = max(1, 10_000_000 // n)
             for s in range(1, n, chunk):
                 e = min(s + chunk, n)
-                sim = np.round(vm @ vm[s:e].T, 6)
+                sim = round_half_away(vm @ vm[s:e].T)
                 for j in range(s, e):
-                    if sim[:j, j - s].max() >= threshold:
+                    lim = first_idx[j]
+                    if lim and sim[:lim, j - s].max() >= threshold:
                         out.append(int(ids[j]))
         return pd.DataFrame({"id": pd.Series(out, dtype="int64")})
 

@@ -220,16 +220,22 @@ def cap_per_group(
     from pyspark.sql import Window
 
     pri = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + seed)))
-    # NULL groups are a real stratum (urls with no parseable domain): an
-    # equi-join back on the raw group column would silently DROP those rows
-    # (null != null in joins) — count and rejoin on a coalesced surrogate.
-    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
-    keyed = df.withColumn("_gkey", gkey)
+    from ..functions.expr import null_safe_group_key
+
+    # NULL groups are a real stratum (urls with no parseable domain); see
+    # null_safe_group_key for why the rejoin needs a surrogate.
+    keyed = df.withColumn("_gkey", null_safe_group_key(F.col(group_col)))
     sizes = keyed.groupBy("_gkey").agg(F.count(F.lit(1)).alias("_gsize"))
     j = keyed.join(sizes, "_gkey")
 
     under = j.where(F.col("_gsize") <= cap).withColumn("keep", F.lit(True))
     over = j.where(F.col("_gsize") > cap)
-    w = Window.partitionBy("_gkey").orderBy(pri.asc(), F.col(id_col).asc())
+    # NULL ids rank LAST (their md5 priority and the id tie-break are both
+    # NULL, so they'd otherwise order arbitrarily among themselves — the
+    # relative order of multiple null-id rows is still unspecified; supply
+    # a complete id column for a fully deterministic draw)
+    w = Window.partitionBy("_gkey").orderBy(
+        pri.asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     over = over.withColumn("keep", F.row_number().over(w) <= cap)
     return under.unionByName(over).drop("_gkey", "_gsize")

@@ -304,12 +304,10 @@ def ccnet_buckets(
     ``head``  : score ≥ cutoff(cuts[1]); ``middle``: ≥ cutoff(cuts[0]).
     """
     lo, hi = cuts
-    # NULL-language docs form their own stratum: an equi-join back on the
-    # raw lang column would silently DROP them (null != null in joins), so
-    # group and rejoin on a coalesced surrogate key instead.
-    keyed = scored.withColumn(
-        "_lkey", F.coalesce(F.col(lang_col).cast("string"), F.lit("\x00null"))
-    )
+    from ..functions.expr import null_safe_group_key
+
+    # NULL-language docs form their own stratum; see null_safe_group_key.
+    keyed = scored.withColumn("_lkey", null_safe_group_key(F.col(lang_col)))
     cutoffs = keyed.groupBy("_lkey").agg(
         F.round(F.percentile(F.col(score_col), F.lit(lo)), 6).alias("_c_lo"),
         F.round(F.percentile(F.col(score_col), F.lit(hi)), 6).alias("_c_hi"),
@@ -399,6 +397,9 @@ def hashed_linear_score(
                 f"dim={dim} > fold cap {HASH_WEIGHTS_FOLD_MAX}; pass the "
                 "weights as a (bucket, weight) DataFrame instead"
             )
+    if dim <= 0:
+        # the bucket modulo would DIVIDE_BY_ZERO mid-job under ANSI mode
+        raise ValueError(f"dim must be > 0, got {dim}")
 
     def feats(t):
         grams = F.filter(

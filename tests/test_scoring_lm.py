@@ -173,3 +173,9 @@ def test_ccnet_buckets_null_lang_not_dropped(spark):
     nulls = {r["doc_id"]: r["bucket"] for r in out.where("lang IS NULL").collect()}
     assert sorted(nulls.values()) == ["head", "head", "middle", "middle",
                                       "tail", "tail"]
+
+
+def test_hashed_linear_zero_dim_rejected(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="dim must be > 0"):
+        hashed_linear_score(df, "doc_id", "text", [])

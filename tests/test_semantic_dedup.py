@@ -175,3 +175,17 @@ def test_cli_semdedup_rejects_string_id(spark, tmp_path):
     )
     assert r.returncode == 2
     assert "must be numeric" in r.stderr
+
+
+def test_duplicate_ids_backends_agree(spark):
+    # rows sharing (centroid_sim, id) suppress NEITHER on either backend
+    # (hof: strict-less predicate; arrow: strict-less key prefix)
+    df = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (7, [1.0, 0.0]), (8, [1.0, 0.0])],
+        "id long, vec array<double>",
+    )
+    for backend in ("arrow", "hof"):
+        out = semantic_dedup(df, "id", "vec", CENTS, threshold=0.99,
+                             pairs_backend=backend)
+        keeps = sorted((r["id"], r["keep"]) for r in out.collect())
+        assert keeps == [(7, True), (7, True), (8, False)], backend

@@ -18,6 +18,7 @@ URLS = [
     (6, "https://clean.org/x"),
     (7, "not a url"),
     (8, "https://sub.clean.org/x"),              # domain-level block
+    (9, "  https://bad.example.com#top "),       # fragment right after host
 ]
 # registered_domain of *.example.com is example.com -> blocking
 # 'bad.example.com' as a DOMAIN entry only blocks hosts whose eTLD+1 is
@@ -37,6 +38,9 @@ def _expect(out):
     assert m[6]["blocked_by"] == "host"       # host==domain: host label wins
     assert m[7]["keep"] is True               # non-URL: host '' never listed
     assert m[8]["blocked_by"] == "domain"     # subdomain inherits the block
+    # '#frag' directly after the authority (no path) + padding must not
+    # leak into the host and defeat the block (code-review r5)
+    assert m[9]["blocked_by"] == "host" 
     assert all((r["blocked_by"] is None) == r["keep"] for r in m.values())
 
 
