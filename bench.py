@@ -267,6 +267,30 @@ def _stream_validate_throughput(spark) -> tuple[float, float]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _classifier_throughput(spark) -> tuple[float, float]:
+    """Quality-classifier docs/sec over the stored 10^6-page fixture: the
+    folded fastText-shaped scorer (zero shuffle, map-only) on the xxhash64
+    scale path — the per-doc cost a 10^12-row quality-filter pass pays.
+    Best-of-3, same discipline as the other probes."""
+    from fairtracks_validator_spark.operators.scoring import (
+        hashed_linear_score,
+        make_hash_weights,
+    )
+
+    df = _pages_table(spark, PREP_BENCH_ROWS)
+    w = make_hash_weights(256, "w")
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        n = hashed_linear_score(
+            df, "url", "text", w, hash_fn="xxhash64"
+        ).count()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+    return best, n / best
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -318,6 +342,8 @@ def main():
     times["pages_corpus_prep"] = round(prep_sec, 3)
     stream_sec, stream_docs_per_sec = _stream_validate_throughput(spark)
     times["stream_validate"] = round(stream_sec, 3)
+    clf_sec, clf_docs_per_sec = _classifier_throughput(spark)
+    times["pages_classifier"] = round(clf_sec, 3)
 
     cpu_rate_after = _burn()
     contention = min(cpu_rate_before, cpu_rate_after) / max(
@@ -347,6 +373,7 @@ def main():
                 "pages_docs_per_sec": round(pages_docs_per_sec, 1),
                 "pages_prep_docs_per_sec": round(prep_docs_per_sec, 1),
                 "stream_docs_per_sec": round(stream_docs_per_sec, 1),
+                "classifier_docs_per_sec": round(clf_docs_per_sec, 1),
                 # r5 probe change vs r4 (NOT a regression): the docs/sec
                 # now measures the full observed sink (verdicts AND
                 # violation rows in one action) over a STORED table of

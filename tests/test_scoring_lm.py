@@ -179,3 +179,27 @@ def test_hashed_linear_zero_dim_rejected(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="dim must be > 0"):
         hashed_linear_score(df, "doc_id", "text", [])
+
+
+def test_hashed_linear_xxhash64_path(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "la la la")], "doc_id long, text string"
+    )
+    w = make_hash_weights(32, "x")
+    out = hashed_linear_score(df, "doc_id", "text", w, hash_fn="xxhash64")
+    rows = sorted(out.collect())
+    # deterministic across runs, same n_features as md5 path, scores differ
+    # in general (different bucketing)
+    again = sorted(
+        hashed_linear_score(df, "doc_id", "text", w,
+                            hash_fn="xxhash64").collect()
+    )
+    assert rows == again
+    md5_rows = sorted(hashed_linear_score(df, "doc_id", "text", w).collect())
+    assert [r["n_features"] for r in rows] == [r["n_features"] for r in md5_rows]
+    plan = hashed_linear_score(
+        df, "doc_id", "text", w, hash_fn="xxhash64"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    with pytest.raises(ValueError, match="hash_fn"):
+        hashed_linear_score(df, "doc_id", "text", w, hash_fn="sha9")
