@@ -2978,6 +2978,74 @@ FROM z ORDER BY doc_id
 """
 
 
+def q_ccnet_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet end-to-end (Wenzek et al. 2019): language-ID -> corpus-trained
+    LM score -> per-language perplexity terciles -> keep head+middle. Every
+    stage is an existing oracled operator; this row pins the COMPOSITION."""
+    from fairtracks_validator_spark.functions.text import langid
+    from fairtracks_validator_spark.operators.scoring import (
+        ccnet_buckets,
+        unigram_logprob,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lid = docs.select("doc_id", langid(F.col("text")).alias("pred_lang"))
+    scored = unigram_logprob(docs, "doc_id", "text").join(lid, "doc_id")
+    b = ccnet_buckets(scored, "doc_id", "logprob", "pred_lang")
+    return b.withColumn(
+        "keep", F.col("bucket") != F.lit("tail")
+    ).orderBy("doc_id")
+
+
+def _ccnet_pipeline_sql() -> str:
+    from fairtracks_validator_spark.functions.text import STOPWORDS
+
+    s = {lang: _sql_stopword_score(ws) for lang, ws in STOPWORDS.items()}
+    return f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS words FROM documents),
+sc AS (
+  SELECT doc_id, {s['de']} AS s_de, {s['en']} AS s_en,
+         {s['es']} AS s_es, {s['fr']} AS s_fr
+  FROM tok
+),
+lid AS (
+  SELECT doc_id,
+    CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr' END AS pred_lang
+  FROM sc
+),
+tok2 AS (SELECT doc_id AS id, unnest(words) AS token FROM tok),
+vocab AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY 1),
+tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab),
+scored AS (
+  SELECT t.id AS doc_id, round(avg(ln(v.cnt / tot.total)), 4) AS logprob
+  FROM tok2 t JOIN vocab v USING (token), tot
+  GROUP BY t.id
+),
+sl AS (SELECT s.doc_id, l.pred_lang, s.logprob
+       FROM scored s JOIN lid l USING (doc_id)),
+cut AS (
+  SELECT pred_lang,
+         round(quantile_cont(logprob, 1.0/3.0), 6) AS c_lo,
+         round(quantile_cont(logprob, 2.0/3.0), 6) AS c_hi
+  FROM sl GROUP BY 1
+),
+b AS (
+  SELECT sl.doc_id, sl.pred_lang, sl.logprob,
+         CASE WHEN sl.logprob >= cut.c_hi THEN 'head'
+              WHEN sl.logprob >= cut.c_lo THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM sl JOIN cut USING (pred_lang)
+)
+SELECT doc_id::BIGINT AS doc_id, pred_lang, logprob, bucket,
+       (bucket <> 'tail') AS keep
+FROM b ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3046,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition_documents": q_gopher_repetition_documents,
         "cap_per_group_documents": q_cap_per_group_documents,
         "url_blocklist_documents": q_url_blocklist_documents,
+        "ccnet_pipeline_documents": q_ccnet_pipeline_documents,
     }
 
 
@@ -3118,4 +3187,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition_documents": _GOPHER_REPETITION_SQL,
         "cap_per_group_documents": _CAP_PER_GROUP_SQL,
         "url_blocklist_documents": _url_blocklist_sql(),
+        "ccnet_pipeline_documents": _ccnet_pipeline_sql(),
     }

@@ -96,6 +96,7 @@ HEADLINE = [
     "gopher_repetition_documents",
     "cap_per_group_documents",
     "url_blocklist_documents",
+    "ccnet_pipeline_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))
