@@ -3046,6 +3046,24 @@ FROM b ORDER BY doc_id
 """
 
 
+def q_pack_bfd_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing whole-document packing (bins of 256 tokens).
+    BFD is order-sequential greedy — no SQL twin exists, so this entry
+    carries the driver's rows-only check; exact-output parity against an
+    independent pure-Python BFD lives in test_scoring_properties."""
+    from fairtracks_validator_spark.functions.text import token_count
+    from fairtracks_validator_spark.operators.pipeline import (
+        pack_sequences_bfd,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_sequences_bfd(
+        docs, "doc_id", "n_tok", seq_len=256, buckets=16
+    ).orderBy("id")
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3115,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group_documents": q_cap_per_group_documents,
         "url_blocklist_documents": q_url_blocklist_documents,
         "ccnet_pipeline_documents": q_ccnet_pipeline_documents,
+        "pack_bfd_documents": q_pack_bfd_documents,
     }
 
 

@@ -97,6 +97,7 @@ HEADLINE = [
     "cap_per_group_documents",
     "url_blocklist_documents",
     "ccnet_pipeline_documents",
+    "pack_bfd_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))

@@ -144,3 +144,88 @@ def pack_sequences(
             F.col(n_tokens_col).alias("n_tokens"),
         )
     )
+
+
+def pack_sequences_bfd(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    buckets: int = 256,
+    seed: str = "pack",
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing: assign each document WHOLE to
+    a bin of capacity ``seq_len`` tokens — no document straddles a bin
+    boundary, the packing objective the no-splitting recipes use (padding
+    is wasted compute; splitting breaks attention context — this is the
+    classic BFD bin-packing heuristic, ≤ 11/9·OPT + 1 bins).
+
+    (id, bucket, bin_id, n_tokens, overflow) — ``overflow`` marks docs
+    longer than ``seq_len`` (each gets a lone bin; truncate or segment
+    upstream). Deterministic: docs are hash-bucketed (entity-stable, same
+    ``seed`` contract as :func:`pack_sequences`), and within a bucket BFD
+    runs over (n_tokens DESC, id ASC) with best-fit ties to the
+    lowest-numbered bin — a pure function of (corpus, seed), invariant
+    under repartitioning.
+
+    Scale shape: ONE shuffle (the bucket groupBy); each bucket packs
+    independently inside ``applyInPandas`` with a sorted-remaining-capacity
+    list (O(n log n) per bucket via bisect). Sequential greedy state never
+    leaves a bucket, so 10^12 docs / ≥256 buckets bounds any task's state
+    to its bucket slice. BFD is inherently order-sequential — there is no
+    SQL twin, so this operator carries invariant tests + an independent
+    pure-Python reference instead of a DuckDB oracle (the same class as
+    the stateful streaming ops).
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be > 0, got {seq_len}")
+    import pandas as pd
+
+    from .sampling import hash_bucket
+
+    b = F.pmod(hash_bucket(F.col(id_col), seed), F.lit(buckets))
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        b.cast("int").alias("bucket"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from bisect import insort_left
+
+        g = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True], kind="mergesort"
+        )
+        # open bins as a sorted list of (remaining, bin_id); best fit =
+        # smallest remaining >= need, ties to lowest bin_id (insort order)
+        open_bins: list[tuple[int, int]] = []
+        out_bin, out_over = [], []
+        next_bin = 0
+        from bisect import bisect_left
+
+        for n_tok in g["n_tokens"].tolist():
+            n = int(n_tok)
+            if n > seq_len:
+                out_bin.append(next_bin)
+                out_over.append(True)
+                next_bin += 1  # lone bin, never reopened
+                continue
+            i = bisect_left(open_bins, (n, -1))
+            if i < len(open_bins):
+                rem, bid = open_bins.pop(i)
+                left = rem - n
+            else:
+                bid = next_bin
+                next_bin += 1
+                left = seq_len - n
+            if left > 0:
+                insort_left(open_bins, (left, bid))
+            out_bin.append(bid)
+            out_over.append(False)
+        g = g.assign(bin_id=out_bin, overflow=out_over)
+        return g[["id", "bucket", "bin_id", "n_tokens", "overflow"]]
+
+    return keyed.groupBy("bucket").applyInPandas(
+        pack,
+        "id long, bucket int, bin_id long, n_tokens long, overflow boolean",
+    )

@@ -146,3 +146,78 @@ def test_gopher_repetition_matches_python_reference(spark, docs_lines):
         assert r["dup_line_char_frac"] == pytest.approx(lcf, abs=1e-6)
         assert r["dup_para_frac"] == pytest.approx(pf, abs=1e-6)
         assert r["dup_para_char_frac"] == pytest.approx(pcf, abs=1e-6)
+
+
+def _py_bfd(items, seq_len):
+    """Independent BFD reference: items = [(id, n)], returns id -> bin."""
+    from bisect import bisect_left, insort_left
+
+    order = sorted(items, key=lambda t: (-t[1], t[0]))
+    bins: list[tuple[int, int]] = []
+    nxt, out = 0, {}
+    for i, n in order:
+        if n > seq_len:
+            out[i] = (nxt, True)
+            nxt += 1
+            continue
+        k = bisect_left(bins, (n, -1))
+        if k < len(bins):
+            rem, bid = bins.pop(k)
+            left = rem - n
+        else:
+            bid, left = nxt, seq_len - n
+            nxt += 1
+        if left > 0:
+            insort_left(bins, (left, bid))
+        out[i] = (bid, False)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=140), min_size=1,
+                max_size=25))
+def test_pack_bfd_matches_python_reference(spark, sizes):
+    from fairtracks_validator_spark.operators.pipeline import (
+        pack_sequences_bfd,
+    )
+
+    items = list(enumerate(sizes))
+    df = spark.createDataFrame(items, "doc_id long, n long")
+    out = pack_sequences_bfd(df, "doc_id", "n", seq_len=100, buckets=1)
+    got = {r["id"]: (r["bin_id"], r["overflow"]) for r in out.collect()}
+    assert got == _py_bfd(items, 100)
+    # invariants: every non-overflow bin fits seq_len
+    fills: dict[int, int] = {}
+    for i, n in items:
+        b, over = got[i]
+        if not over:
+            fills[b] = fills.get(b, 0) + n
+    assert all(v <= 100 for v in fills.values())
+
+
+def test_pack_bfd_bucketed_partition_invariant(spark):
+    from fairtracks_validator_spark.operators.pipeline import (
+        pack_sequences_bfd,
+    )
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    a = sorted(pack_sequences_bfd(df, "doc_id", "n", 128, buckets=8).collect())
+    b = sorted(
+        pack_sequences_bfd(df.repartition(13), "doc_id", "n", 128,
+                           buckets=8).collect()
+    )
+    assert a == b
+    # bins never cross buckets; per-(bucket,bin) fill <= seq_len
+    fills: dict[tuple[int, int], int] = {}
+    for r in a:
+        assert not r["overflow"]
+        key = (r["bucket"], r["bin_id"])
+        fills[key] = fills.get(key, 0) + r["n_tokens"]
+    assert all(v <= 128 for v in fills.values())
+    # BFD beats concat-then-split padding-wise here: every doc whole
+    assert len(a) == 200
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_sequences_bfd(df, "doc_id", "n", 0)
