@@ -3064,6 +3064,82 @@ def q_pack_bfd_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_c4_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) over planted
+    multi-line pages: terminal-punctuation + min-words + javascript line
+    filters, '{' / 'lorem ipsum' page gates, >=3-sentence rule. clean_hash
+    pins the rejoined clean text byte-for-byte."""
+    from fairtracks_validator_spark.functions.text import c4_metrics, c4_pass
+
+    did = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("short line."),
+        F.lit("this javascript line has many words here."),
+        F.lit("a perfectly fine sentence with enough words."),
+        F.when(did % 7 == 0, F.lit("code { block")),
+        F.when(did % 11 == 0, F.lit("Lorem Ipsum filler here.")),
+    )
+    pg = _t(spark, sf_dir, "documents").select(did.alias("doc_id"),
+                                               page.alias("t"))
+    d2 = pg.select("doc_id", c4_metrics(F.col("t")).alias("m"))
+    return d2.select(
+        "doc_id",
+        F.col("m.n_lines_kept").alias("n_lines_kept"),
+        F.col("m.n_lines_dropped").alias("n_lines_dropped"),
+        F.col("m.n_sentences").alias("n_sentences"),
+        F.col("m.has_brace").alias("has_brace"),
+        F.col("m.has_lorem").alias("has_lorem"),
+        c4_pass(F.col("m")).alias("keep"),
+        F.md5(F.col("m.clean_text")).alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
+_C4_CLEAN_SQL = r"""
+WITH pg AS (
+  SELECT doc_id, concat_ws(chr(10), text,
+    'short line.',
+    'this javascript line has many words here.',
+    'a perfectly fine sentence with enough words.',
+    CASE WHEN doc_id % 7 = 0 THEN 'code { block' END,
+    CASE WHEN doc_id % 11 = 0 THEN 'Lorem Ipsum filler here.' END) AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id, t,
+    list_filter(string_split(t, chr(10)),
+                x -> NOT regexp_matches(x, '^\s*$')) AS lines
+  FROM pg
+),
+k AS (
+  SELECT doc_id, t, lines,
+    list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+      AND len(list_filter(
+            string_split(regexp_replace(x, '\s+', ' ', 'g'), ' '),
+            w -> w <> '')) >= 5
+      AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+),
+c AS (
+  SELECT doc_id, t, lines, kept,
+         array_to_string(kept, chr(10)) AS clean
+  FROM k
+)
+SELECT doc_id::BIGINT AS doc_id,
+  len(kept)::BIGINT AS n_lines_kept,
+  (len(lines) - len(kept))::BIGINT AS n_lines_dropped,
+  len(regexp_extract_all(clean, '[.!?]'))::BIGINT AS n_sentences,
+  contains(t, '{') AS has_brace,
+  contains(lower(t), 'lorem ipsum') AS has_lorem,
+  (len(regexp_extract_all(clean, '[.!?]')) >= 3
+   AND NOT contains(t, '{')
+   AND NOT contains(lower(t), 'lorem ipsum')) AS keep,
+  md5(clean) AS clean_hash
+FROM c ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3134,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_documents": q_url_blocklist_documents,
         "ccnet_pipeline_documents": q_ccnet_pipeline_documents,
         "pack_bfd_documents": q_pack_bfd_documents,
+        "c4_clean_documents": q_c4_clean_documents,
     }
 
 
@@ -3207,4 +3284,5 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_group_documents": _CAP_PER_GROUP_SQL,
         "url_blocklist_documents": _url_blocklist_sql(),
         "ccnet_pipeline_documents": _ccnet_pipeline_sql(),
+        "c4_clean_documents": _C4_CLEAN_SQL,
     }

@@ -98,6 +98,7 @@ HEADLINE = [
     "url_blocklist_documents",
     "ccnet_pipeline_documents",
     "pack_bfd_documents",
+    "c4_clean_documents",
 ]
 
 PAGES_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", "4000000"))

@@ -413,3 +413,75 @@ def gopher_repetition(col) -> Column:
         return let_(pm, inner)
 
     return let_(lm, combine)
+
+
+#: C4's terminal punctuation (Raffel et al. 2020 §2.2): a kept line must
+#: end in one of these.
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_metrics(col, min_line_words: int = 5) -> Column:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) as one struct:
+
+    struct(clean_text, n_lines_kept, n_lines_dropped, n_sentences,
+           has_brace, has_lorem)
+
+    - line keep rule: ends in terminal punctuation (``[.!?"]``), has ≥
+      ``min_line_words`` whitespace words, and does not contain the word
+      "javascript" (case-insensitive) — the paper's three line filters.
+    - ``clean_text``: the kept lines rejoined with ``\\n`` (byte-stable).
+    - ``n_sentences``: terminal-punctuation count over the CLEAN text —
+      this engine's documented sentence proxy (the paper splits with a
+      sentence tokenizer; a regex count is deterministic and
+      SQL-replicable, and the ≥3 gate behaves identically on prose).
+    - ``has_brace`` / ``has_lorem``: the page-level "{" and "lorem ipsum"
+      markers (code and boilerplate pages).
+
+    Zero shuffle, zero UDF: one line split + two filters per row, all
+    let_-bound so nothing tokenizes twice. Gate with :func:`c4_pass`.
+    """
+    from .expr import let_
+
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+
+    def build(lines):
+        kept = F.filter(
+            lines,
+            lambda l: F.trim(l).rlike(C4_TERMINAL_RE)
+            & (F.size(tokens(l)) >= min_line_words)
+            & ~F.lower(l).contains("javascript"),
+        )
+
+        def fields(k):
+            clean = F.array_join(k, "\n")
+
+            def out(cl):
+                return F.struct(
+                    cl.alias("clean_text"),
+                    F.size(k).cast("long").alias("n_lines_kept"),
+                    (F.size(lines) - F.size(k)).cast("long").alias(
+                        "n_lines_dropped"
+                    ),
+                    F.regexp_count(cl, F.lit(r'[.!?]')).cast("long").alias(
+                        "n_sentences"
+                    ),
+                    c.contains("{").alias("has_brace"),
+                    F.lower(c).contains("lorem ipsum").alias("has_lorem"),
+                )
+
+            return let_(clean, out)
+
+        return let_(kept, fields)
+
+    lines = F.filter(F.split(c, "\n"), lambda x: ~x.rlike(r"^\s*$"))
+    return let_(lines, build)
+
+
+def c4_pass(metrics: Column, min_sentences: int = 3) -> Column:
+    """C4's page gate over :func:`c4_metrics`: ≥ ``min_sentences``
+    sentences survive cleaning, no "{", no "lorem ipsum"."""
+    return (
+        (metrics["n_sentences"] >= min_sentences)
+        & ~metrics["has_brace"]
+        & ~metrics["has_lorem"]
+    )

@@ -221,3 +221,46 @@ def test_gopher_repetition_beyond_first_counting(spark):
     r = df.select(gopher_repetition("text").alias("m")).select("m.*").collect()[0]
     assert r["n_lines"] == 5
     assert r["dup_line_frac"] == pytest.approx(3 / 5, abs=1e-6)
+
+
+def test_c4_metrics_hand_cases(spark):
+    from fairtracks_validator_spark.functions.text import c4_metrics, c4_pass
+
+    page = "\n".join([
+        "This is a perfectly good first sentence with words.",  # kept
+        "short one.",                                 # <5 words -> dropped
+        "no terminal punctuation in this line here",  # no punct -> dropped
+        "This javascript line would otherwise be kept fine.",  # js -> drop
+        "Another good sentence follows right here today!",     # kept
+        'He said "quoted lines count as terminal too."',       # kept (")
+    ])
+    df = spark.createDataFrame(
+        [(1, page), (2, "Only { brace. Page with three. Sentences here."),
+         (3, "Has Lorem IPSUM inside. More words here today. And a third one."),
+         (4, "One good sentence with enough words here."),  # <3 sentences
+         (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", c4_metrics("text").alias("m"),
+        c4_pass(c4_metrics("text")).alias("keep"),
+    ).select("doc_id", "m.*", "keep").collect()}
+    r = out[1]
+    assert r["n_lines_kept"] == 3 and r["n_lines_dropped"] == 3
+    assert r["n_sentences"] == 3        # '.', '!', '."' -> . ! . = 3
+    assert r["keep"] is True
+    assert out[2]["has_brace"] and out[2]["keep"] is False
+    assert out[3]["has_lorem"] and out[3]["keep"] is False
+    assert out[4]["n_sentences"] == 1 and out[4]["keep"] is False
+    assert out[5]["n_lines_kept"] == 0 and out[5]["keep"] is False
+
+
+def test_c4_clean_text_byte_stable(spark):
+    from fairtracks_validator_spark.functions.text import c4_metrics
+
+    page = "Keep this sentence with plenty of words.\nno punct line\n" \
+           "And keep this second sentence with words too."
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    got = df.select(c4_metrics("text")["clean_text"].alias("c")).first()["c"]
+    assert got == ("Keep this sentence with plenty of words.\n"
+                   "And keep this second sentence with words too.")
