@@ -38,6 +38,7 @@ def prepare_training_corpus(
     line_sep: str = "\n",
     url_col: str | None = None,
     url_blocklist: "list[str] | DataFrame | None" = None,
+    c4_min_sentences: int | None = None,
 ) -> DataFrame:
     """Filter → dedup → sample → split; returns surviving rows with a
     ``split`` column. Deterministic end-to-end: re-runs, resumes, and
@@ -59,7 +60,13 @@ def prepare_training_corpus(
     ``url_col`` + ``url_blocklist``: the C4/RefinedWeb pre-filter —
     blocked hosts/registered-domains drop FIRST, before any content work
     (:func:`..operators.urlfilter.url_blocklist_filter`). Folded-list or
-    broadcast-join either way: map-only, the single-shuffle plan holds."""
+    broadcast-join either way: map-only, the single-shuffle plan holds.
+
+    ``c4_min_sentences``: when set, the C4 line filters rewrite
+    ``text_col`` to the cleaned text and pages failing
+    :func:`..functions.text.c4_pass` drop — BEFORE the Gopher gate, so
+    both gates and the dedup hash see the cleaned bytes. Pure Columns:
+    map-only, the single-shuffle plan still holds."""
     if (url_col is None) != (url_blocklist is None):
         raise ValueError("url_col and url_blocklist must be set together")
     if url_blocklist is not None:
@@ -69,6 +76,15 @@ def prepare_training_corpus(
             url_blocklist_filter(df, url_col, url_blocklist)
             .where(F.col("keep"))
             .drop("blocked_by", "keep")
+        )
+    if c4_min_sentences is not None:
+        from ..functions.text import c4_metrics, c4_pass
+
+        df = (
+            df.withColumn("_c4", c4_metrics(F.col(text_col)))
+            .where(c4_pass(F.col("_c4"), min_sentences=c4_min_sentences))
+            .withColumn(text_col, F.col("_c4.clean_text"))
+            .drop("_c4")
         )
     if line_dedup_min_count is not None:
         from .lines import dedup_lines_text

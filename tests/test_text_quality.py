@@ -264,3 +264,29 @@ def test_c4_clean_text_byte_stable(spark):
     got = df.select(c4_metrics("text")["clean_text"].alias("c")).first()["c"]
     assert got == ("Keep this sentence with plenty of words.\n"
                    "And keep this second sentence with words too.")
+
+
+def test_pipeline_c4_stage(spark):
+    from fairtracks_validator_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    good = ("The quick brown fox jumps over the lazy dog today. "
+            "It was a sunny day in the old town with friends. "
+            "Everyone shared a warm meal at the long table.")
+    rows = [
+        (f"u{i}", good + f" Tail number {i} ends the page right here.")
+        for i in range(4)
+    ]
+    rows.append(("ubrace", good + " A line with a { brace marker."))
+    rows.append(("ujs", good + "\nthis javascript line has many words here."))
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = prepare_training_corpus(
+        df, "url", "text", min_words=10, sample_rate=1.0, val_frac=0.25,
+        min_stop_hits=1, c4_min_sentences=3,
+    )
+    got = {r["url"]: r["text"] for r in out.collect()}
+    assert "ubrace" not in got            # page gate dropped it
+    assert "ujs" in got                   # page survives, js line removed
+    assert "javascript" not in got["ujs"]
+    assert len(got) == 5
