@@ -281,6 +281,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="newline-separated host/registered-domain blocklist "
                         "file (C4/RefinedWeb pre-filter); rows matching by "
                         "exact host or eTLD+1 drop before any content work")
+    p.add_argument("--c4-min-sentences", type=int, default=None,
+                   help="apply the C4 line filters (terminal punctuation, "
+                        ">=5 words, no javascript) and page gates before "
+                        "the Gopher gate; pages below this sentence count "
+                        "drop; off by default")
 
     d = sub.add_parser(
         "dedup",
@@ -611,6 +616,7 @@ def main(argv: list[str] | None = None) -> int:
             line_dedup_min_count=args.line_dedup_min_count,
             url_col=args.url_col,
             url_blocklist=blocked,
+            c4_min_sentences=args.c4_min_sentences,
         )
         write_table(out, args.out, mode="overwrite")
         from .sources.tables import is_catalog_table

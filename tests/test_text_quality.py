@@ -290,3 +290,30 @@ def test_pipeline_c4_stage(spark):
     assert "ujs" in got                   # page survives, js line removed
     assert "javascript" not in got["ujs"]
     assert len(got) == 5
+
+
+def test_cli_prepare_c4_flag(spark, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    good = ("The quick brown fox jumps over the lazy dog today. "
+            "It was a sunny day in the old town with friends. "
+            "Everyone shared a warm meal at the long table.")
+    rows = [(f"u{i}", good) for i in range(3)]
+    rows.append(("ubrace", good + " A trailing { brace."))
+    spark.createDataFrame(rows, "url string, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "in"))
+    r = subprocess.run(
+        [sys.executable, "-m", "fairtracks_validator_spark.cli", "prepare",
+         "--input", str(tmp_path / "in"), "--out", str(tmp_path / "out"),
+         "--id-col", "url", "--min-words", "10", "--min-stop-hits", "1",
+         "--c4-min-sentences", "3"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    # exact dedup collapses the 3 identical-text survivors to 1; the brace
+    # page was C4-gated before any of that
+    assert payload["rows"] == 1
