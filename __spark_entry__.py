@@ -73,6 +73,20 @@ def _par(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
+def _sorted_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Materialize an output-sized relation once, THEN globally sort it.
+
+    A final ``orderBy`` plans a range exchange whose partitioner SAMPLES its
+    child — a separate job that re-executes the whole lineage. For a
+    map-only pipeline (scan → regex/UDF/HOF kernels → sort) that doubles
+    the query: measured 15.4 s vs 5.3 s unsorted on the sf1.0 WARC probe
+    and 5.3 s vs ~0.6 s on pii_redact. ``localCheckpoint(eager)`` runs the
+    expensive part exactly once; the sampling pass then reads the
+    checkpointed blocks. Output-sized relations only (violations, per-doc
+    scores) — never a corpus-sized intermediate."""
+    return df.localCheckpoint(eager=True).orderBy(*keys)
+
+
 # --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full two-pass validation of the documents corpus."""
@@ -96,7 +110,8 @@ def q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     res = validate_corpus({"documents/1.0": (plan, docs)})
-    return res.violations.select("source", "check_id").orderBy("source", "check_id")
+    return _sorted_out(res.violations.select("source", "check_id"),
+                       "source", "check_id")
 
 
 def q_validate_documents_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,7 +178,7 @@ def q_validate_documents_draft7(spark: SparkSession, sf_dir: str) -> DataFrame:
     multipleOf, uniqueItems, minItems, maxItems, array- and schema-form
     dependencies over the documents table."""
     docs = (
-        _t(spark, sf_dir, "documents")
+        _par(_t(spark, sf_dir, "documents"))
         .withColumn("ord", F.col("doc_id"))
         .withColumn("src", F.col("source"))
         .withColumn("source", F.col("doc_id").cast("string"))
@@ -206,7 +221,8 @@ def q_validate_documents_draft7(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     res = validate_corpus({"documents_draft7/1.0": (plan, docs)})
-    return res.violations.select("source", "check_id").orderBy("source", "check_id")
+    return _sorted_out(res.violations.select("source", "check_id"),
+                       "source", "check_id")
 
 
 _VALIDATE_DRAFT7_SQL = """
@@ -264,7 +280,7 @@ def q_validate_documents_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ipv6) over columns derived deterministically from doc_id — the identical
     derivation runs in DuckDB, and the identical anchored regexes run in both
     engines (RE2-compatible by construction)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     docs = d.select(
         did.alias("ord"),
@@ -312,7 +328,8 @@ def q_validate_documents_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     res = validate_corpus({"documents_formats/1.0": (plan, docs)})
-    return res.violations.select("source", "check_id").orderBy("source", "check_id")
+    return _sorted_out(res.violations.select("source", "check_id"),
+                       "source", "check_id")
 
 
 def _validate_formats_sql() -> str:
@@ -437,7 +454,7 @@ def q_validate_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("u"), F.col("c_custkey").cast("string")).alias("source"),
         F.col("c_custkey").alias("ord"), "c_custkey", "c_acctbal",
     )
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _par(_t(spark, sf_dir, "events")).select(
         F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("source"),
         F.col("event_id").alias("ord"), "user_id", "value",
     )
@@ -453,7 +470,7 @@ def q_validate_multischema(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = validate_corpus(
         {"users/1.0": (users_plan, cust), "events/1.0": (events_plan, ev)}
     )
-    return res.violations.select("source", "check_id", "key_str").orderBy(
+    return _sorted_out(res.violations.select("source", "check_id", "key_str"),
         "source", "check_id", "key_str"
     )
 
@@ -656,12 +673,27 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check)."""
     li = _t(spark, sf_dir, "lineitem")
     rsd = 0.02
-    agg = li.agg(
+    # one agg per aggregate FAMILY, combined by 1-row cross joins, instead of
+    # mixing two countDistinct with the sketches in a single agg: the mixed
+    # form plans as Expand ×3 (18M rows at sf1.0) with partial HLL sketch
+    # buffers (2×410 longs) carried PER DISTINCT KEY GROUP — ~54 s at sf1.0,
+    # almost all of it building/merging millions of dead sketch buffers.
+    # Split, the sketches partial-aggregate map-side (2 buffers total) and
+    # each exact count is a plain two-stage distinct — same single-row
+    # result (oracle-verified), ~20x faster.
+    approx = li.agg(
         F.approx_count_distinct("l_orderkey", rsd).alias("ao"),
         F.approx_count_distinct("l_partkey", rsd).alias("ap"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    exact_o = (
+        li.select("l_orderkey").where(F.col("l_orderkey").isNotNull())
+        .distinct().agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    exact_p = (
+        li.select("l_partkey").where(F.col("l_partkey").isNotNull())
+        .distinct().agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    agg = approx.crossJoin(exact_o).crossJoin(exact_p)
     return agg.select(
         "exact_orders",
         "exact_parts",
@@ -714,7 +746,7 @@ def q_ks_per_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("double").alias("v"),
         F.when(F.col("doc_id") % 2 == 0, "h0").otherwise("h1").alias("half"),
     )
-    return ks_per_group_pandas(docs, "v", "lang", "half").orderBy("lang")
+    return _sorted_out(ks_per_group_pandas(docs, "v", "lang", "half"), "lang")
 
 
 _KS_PER_LANG_SQL = """
@@ -806,10 +838,13 @@ def q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) over the events stream."""
     from fairtracks_validator_spark.operators.sessions import session_stats
 
-    return session_stats(
-        _t(spark, sf_dir, "events"), "user_id", "ts",
-        order_tiebreak="event_id", gap_seconds=1800,
-    ).orderBy("user_id", "session_id")
+    return _sorted_out(
+        session_stats(
+            _t(spark, sf_dir, "events"), "user_id", "ts",
+            order_tiebreak="event_id", gap_seconds=1800,
+        ),
+        "user_id", "session_id",
+    )
 
 
 # FLOOR(epoch(...)) replicates Spark's unix_timestamp second-truncation
@@ -1136,8 +1171,8 @@ def q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram LM scoring (mean token log-probability)."""
     from fairtracks_validator_spark.operators.scoring import unigram_logprob
 
-    docs = _t(spark, sf_dir, "documents")
-    return unigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+    docs = _par(_t(spark, sf_dir, "documents"))
+    return _sorted_out(unigram_logprob(docs, "doc_id", "text"), "doc_id")
 
 
 _UNIGRAM_LOGPROB_SQL = f"""
@@ -1187,9 +1222,11 @@ def q_simhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash chunk-blocked near-dup pairs with exact Hamming verify."""
     from fairtracks_validator_spark.operators.dedup import simhash_candidates
 
-    docs = _docs_with_clones(spark, sf_dir)  # exact clones → hamming 0
-    return simhash_candidates(docs, "doc_id", "text", max_hamming=3,
-                              bands=4).orderBy("id_a", "id_b")
+    docs = _docs_with_clones(spark, sf_dir)  # exact clones -> hamming 0
+    return _sorted_out(
+        simhash_candidates(docs, "doc_id", "text", max_hamming=3, bands=4),
+        "id_a", "id_b",
+    )
 
 
 _SIMHASH_NEARDUP_SQL = f"""
@@ -1279,10 +1316,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = emb.where(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
     )
-    return embedding_neardup_pairs(
-        emb.unionByName(clones), "vec_id", "embedding", threshold=0.999,
-        block_planes=4,
-    ).orderBy("id_a", "id_b")
+    return _sorted_out(
+        embedding_neardup_pairs(
+            emb.unionByName(clones), "vec_id", "embedding", threshold=0.999,
+            block_planes=4,
+        ),
+        "id_a", "id_b",
+    )
 
 
 # block key in SQL: bit p (MSB-first over 4 planes) = 1 iff
@@ -1491,15 +1531,15 @@ def q_url_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).when(did % 6 == 1, F.lit("?z=1")).otherwise(F.lit("")),
         F.when(did % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
-    return (
-        _t(spark, sf_dir, "documents")
-        .select(did.alias("doc_id"), url.alias("u"))
+    return _sorted_out(
+        _par(_t(spark, sf_dir, "documents").select(did.alias("doc_id")))
+        .select("doc_id", url.alias("u"))
         .select(
             "doc_id",
             canonical_url(F.col("u")).alias("canon"),
             registered_domain(url_host(F.col("u"))).alias("domain"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -1567,7 +1607,10 @@ FROM y ORDER BY doc_id
 # ------------------------------------------------------------------ text ops
 def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par(_t(spark, sf_dir, "documents"))
-    return docs.select(F.col("doc_id"), langid(F.col("text")).alias("pred_lang")).orderBy("doc_id")
+    return _sorted_out(
+        docs.select(F.col("doc_id"), langid(F.col("text")).alias("pred_lang")),
+        "doc_id",
+    )
 
 
 def _sql_stopword_score(lang_words: list[str]) -> str:
@@ -1600,7 +1643,10 @@ FROM sc ORDER BY doc_id
 
 def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par(_t(spark, sf_dir, "documents"))
-    return docs.select(F.col("doc_id"), quality_score(F.col("text")).alias("q")).orderBy("doc_id")
+    return _sorted_out(
+        docs.select(F.col("doc_id"), quality_score(F.col("text")).alias("q")),
+        "doc_id",
+    )
 
 
 _QUALITY_SQL = f"""
@@ -1625,11 +1671,14 @@ FROM m ORDER BY doc_id
 
 def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par(_t(spark, sf_dir, "documents"))
-    return docs.select(
-        F.col("doc_id"),
-        token_count(F.col("text")).alias("n_tokens"),
-        bpe_token_count(F.col("text")).alias("n_bpe"),
-    ).orderBy("doc_id")
+    return _sorted_out(
+        docs.select(
+            F.col("doc_id"),
+            token_count(F.col("text")).alias("n_tokens"),
+            bpe_token_count(F.col("text")).alias("n_bpe"),
+        ),
+        "doc_id",
+    )
 
 
 _TOKEN_COUNTS_SQL = f"""
@@ -1642,10 +1691,13 @@ FROM documents ORDER BY doc_id
 
 
 def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id"), doc_fingerprint(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
+    docs = _par(_t(spark, sf_dir, "documents"))
+    return _sorted_out(
+        docs.select(
+            F.col("doc_id"), doc_fingerprint(F.col("text")).alias("fingerprint")
+        ),
+        "doc_id",
+    )
 
 
 _FINGERPRINT_SQL = """
@@ -1666,7 +1718,7 @@ def q_gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = docs.select(
         "doc_id", F.explode(F.array(gopher_metrics(F.col("text")))).alias("g")
     )
-    return g.select(
+    out = g.select(
         "doc_id",
         F.col("g.n_words").alias("n_words"),
         F.col("g.mean_word_len").alias("mean_word_len"),
@@ -1674,7 +1726,8 @@ def q_gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g.frac_alpha_words").alias("frac_alpha_words"),
         F.col("g.stop_hits").alias("stop_hits"),
         gopher_pass(F.col("g"), min_words=25).alias("passes"),
-    ).orderBy("doc_id")
+    )
+    return _sorted_out(out, "doc_id")
 
 
 _GOPHER_STOPWORDS_SQL = "['the','and','of','to','a','in','is','it','that','was','for','on','with','as','at']"
@@ -1718,14 +1771,17 @@ def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_token_frac(F.col("text")).alias("dup_token_frac"),
         F.explode(F.array(top_gram_frac(F.col("text"), 2))).alias("tg"),
     )
-    return r.select(
+    return _sorted_out(
+        r.select(
+            "doc_id",
+            "dup_token_frac",
+            F.col("tg.top_gram").alias("top_bigram"),
+            F.col("tg.top_count").alias("top_bigram_count"),
+            F.col("tg.n_grams").alias("n_bigrams"),
+            F.col("tg.frac").alias("top_bigram_frac"),
+        ),
         "doc_id",
-        "dup_token_frac",
-        F.col("tg.top_gram").alias("top_bigram"),
-        F.col("tg.top_count").alias("top_bigram_count"),
-        F.col("tg.n_grams").alias("n_bigrams"),
-        F.col("tg.frac").alias("top_bigram_frac"),
-    ).orderBy("doc_id")
+    )
 
 
 _REPETITION_SQL = f"""
@@ -1836,7 +1892,7 @@ def q_pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the corpus itself is clean — a 0-count result would prove nothing),
     then count and redact. Output carries md5(redacted) so the oracle
     byte-compares the full redacted text without shipping it."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     planted = F.concat(
         F.coalesce(F.col("text"), F.lit("")),
         F.when(
@@ -1851,13 +1907,14 @@ def q_pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = docs.select("doc_id", planted.alias("t"))
     c = pii_counts(F.col("t"))
-    return t.select(
+    out = t.select(
         "doc_id",
         c["n_email"].alias("n_email"),
         c["n_ipv4"].alias("n_ipv4"),
         c["n_phone"].alias("n_phone"),
         F.md5(redact_pii(F.col("t"))).alias("redacted_hash"),
-    ).orderBy("doc_id")
+    )
+    return _sorted_out(out, "doc_id")
 
 
 _PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -1897,9 +1954,9 @@ def q_training_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         prepare_training_corpus,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     out = prepare_training_corpus(docs, "doc_id", "text")
-    return out.select("doc_id", "lang", "split").orderBy("doc_id")
+    return _sorted_out(out.select("doc_id", "lang", "split"), "doc_id")
 
 
 _TRAINING_PIPELINE_SQL = f"""
@@ -2019,7 +2076,7 @@ def q_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     properties) and validated like any table. Violations are planted:
     every 97th event gets k=-5 (range), every 89th gets non-JSON
     (required)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _par(_t(spark, sf_dir, "events"))
     props2 = (
         F.when(F.col("event_id") % 97 == 0, F.lit('{"k": -5}'))
         .when(F.col("event_id") % 89 == 0, F.lit("not json"))
@@ -2038,7 +2095,8 @@ def q_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     res = validate_corpus({"props/1.0": (plan, parsed)})
-    return res.violations.select("source", "check_id").orderBy("source", "check_id")
+    return _sorted_out(res.violations.select("source", "check_id"),
+                       "source", "check_id")
 
 
 _VALIDATE_EVENTS_PROPS_SQL = """
@@ -2059,7 +2117,12 @@ ORDER BY source, check_id
 
 
 # ----------------------------------------------------------------------- warc
-_WARC_FIXTURE_FILES = 8
+# 32 archives (was 8): the fixture bucketing is layout only — every page row
+# is independent of which archive holds it — but one binaryFile task per
+# archive is the ingest parallelism (member-gzip archives are not
+# offset-splittable), so 8 files pinned the whole parse to a quarter of the
+# cores (guide §2.5 input skew). Result rows are identical.
+_WARC_FIXTURE_FILES = 32
 
 
 def _build_warc_fixture(docs_pdf, out_dir: str) -> None:
@@ -2129,35 +2192,41 @@ def q_warc_pages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fairtracks_validator_spark.sources.warc import warc_to_pages
 
-    pdf = (
+    docs = (
         _t(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("doc_id", "text")
-        .orderBy("doc_id")
-        .toPandas()
     )
+    # fixture cache key from a 2-scalar aggregate — the old probe pulled the
+    # FULL (doc_id, text) corpus to the driver on every call just to key the
+    # cache; the texts are only needed when the fixture is actually built
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("s")
+    ).first()
     key = hashlib.md5(
-        # v2: builder escapes & < > into the HTML (paired with the
-        # entity-unescaping extractor 1.1.0)
-        f"v2:{sf_dir}:{len(pdf)}:{int(pdf['doc_id'].sum()) if len(pdf) else 0}"
-        .encode()
+        # v3: 32-archive layout (v2 was 8); builder escapes & < > into the
+        # HTML (paired with the entity-unescaping extractor 1.1.0)
+        f"v3:{sf_dir}:{int(stats['n'])}:{int(stats['s'] or 0)}".encode()
     ).hexdigest()[:12]
     d = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".data",
         f"warc_fixture_{key}",
     )
     if not os.path.exists(os.path.join(d, "_DONE")):
-        _build_warc_fixture(pdf, d)
+        _build_warc_fixture(docs.orderBy("doc_id").toPandas(), d)
         open(os.path.join(d, "_DONE"), "w").close()
     pages_df = warc_to_pages(spark, os.path.join(d, "part-*.warc*"))
-    return pages_df.select(
+    return _sorted_out(
+        pages_df.select(
+            "url",
+            # epoch seconds: proves to_timestamp parsed the WARC-Date and
+            # stays session-timezone-independent in the cross-engine compare
+            F.unix_timestamp("warc_ts").alias("warc_epoch"),
+            F.md5(F.col("text")).alias("text_md5"),
+            "lang",
+        ),
         "url",
-        # epoch seconds: proves to_timestamp parsed the WARC-Date and stays
-        # session-timezone-independent in the cross-engine compare
-        F.unix_timestamp("warc_ts").alias("warc_epoch"),
-        F.md5(F.col("text")).alias("text_md5"),
-        "lang",
-    ).orderBy("url")
+    )
 
 
 def _warc_pages_sql() -> str:
@@ -2541,11 +2610,14 @@ def q_importance_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     from fairtracks_validator_spark.functions.text import token_count
     from fairtracks_validator_spark.operators.sampling import importance_sample
 
-    docs = _t(spark, sf_dir, "documents").withColumn("w", token_count("text"))
+    docs = _par(_t(spark, sf_dir, "documents")).withColumn(
+        "w", token_count("text")
+    )
     out = importance_sample(docs, "doc_id", "w", 0.25, seed="dsir")
-    return out.select(
-        "doc_id", F.col("w").cast("long").alias("n_tokens")
-    ).orderBy("doc_id")
+    return _sorted_out(
+        out.select("doc_id", F.col("w").cast("long").alias("n_tokens")),
+        "doc_id",
+    )
 
 
 _IMPORTANCE_SAMPLE_SQL_T = """
@@ -2610,10 +2682,11 @@ def q_bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch is actually exercised — self-trained exact mode never backs off."""
     from fairtracks_validator_spark.operators.scoring import bigram_logprob
 
-    docs = _t(spark, sf_dir, "documents")
-    return bigram_logprob(
-        docs, "doc_id", "text", max_vocab=500, max_bigrams=2000
-    ).orderBy("doc_id")
+    docs = _par(_t(spark, sf_dir, "documents"))
+    return _sorted_out(
+        bigram_logprob(docs, "doc_id", "text", max_vocab=500, max_bigrams=2000),
+        "doc_id",
+    )
 
 
 _BIGRAM_LOGPROB_SQL = f"""
@@ -2657,11 +2730,13 @@ def q_ccnet_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_logprob,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     scored = unigram_logprob(docs, "doc_id", "text").join(
         docs.select("doc_id", "lang"), "doc_id"
     )
-    return ccnet_buckets(scored, "doc_id", "logprob", "lang").orderBy("doc_id")
+    return _sorted_out(
+        ccnet_buckets(scored, "doc_id", "logprob", "lang"), "doc_id"
+    )
 
 
 _CCNET_BUCKETS_SQL = f"""
@@ -2701,10 +2776,11 @@ def q_classifier_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_hash_weights,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    return hashed_linear_score(
-        docs, "doc_id", "text", make_hash_weights(256, "w")
-    ).orderBy("doc_id")
+    docs = _par(_t(spark, sf_dir, "documents"))
+    return _sorted_out(
+        hashed_linear_score(docs, "doc_id", "text", make_hash_weights(256, "w")),
+        "doc_id",
+    )
 
 
 _CLASSIFIER_SCORE_SQL = f"""
@@ -2747,9 +2823,13 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.where(F.col("vec_id") < 8).collect()
     ]
-    return semantic_dedup(
-        emb.unionByName(clones), "vec_id", "embedding", cents, threshold=0.95
-    ).orderBy("id")
+    return _sorted_out(
+        semantic_dedup(
+            emb.unionByName(clones), "vec_id", "embedding", cents,
+            threshold=0.95,
+        ),
+        "id",
+    )
 
 
 _SEMANTIC_DEDUP_SQL = """
@@ -2816,11 +2896,11 @@ def q_gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("doc_id") + 810000).alias("doc_id"),
         F.concat("text", F.lit("\n\n"), "text").alias("text"),
     )
-    corpus = docs.unionByName(lines_planted).unionByName(paras_planted)
-    return (
+    corpus = _par(docs.unionByName(lines_planted).unionByName(paras_planted))
+    return _sorted_out(
         corpus.select("doc_id", gopher_repetition("text").alias("m"))
-        .select("doc_id", "m.*")
-        .orderBy("doc_id")
+        .select("doc_id", "m.*"),
+        "doc_id",
     )
 
 
@@ -2916,13 +2996,14 @@ def q_url_blocklist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).when(did % 6 == 1, F.lit("?z=1")).otherwise(F.lit("")),
         F.when(did % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
-    df = _t(spark, sf_dir, "documents").select(did.alias("doc_id"),
-                                               url.alias("url"))
+    df = _par(_t(spark, sf_dir, "documents").select(did.alias("doc_id"))).select(
+        "doc_id", url.alias("url")
+    )
     out = url_blocklist_filter(
         df, "url",
         ["site4.co.uk", "site28.co.uk", "www.site13.example.com"],
     )
-    return out.select("doc_id", "blocked_by", "keep").orderBy("doc_id")
+    return _sorted_out(out.select("doc_id", "blocked_by", "keep"), "doc_id")
 
 
 def _url_blocklist_sql() -> str:
@@ -2988,13 +3069,13 @@ def q_ccnet_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_logprob,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"))
     lid = docs.select("doc_id", langid(F.col("text")).alias("pred_lang"))
     scored = unigram_logprob(docs, "doc_id", "text").join(lid, "doc_id")
     b = ccnet_buckets(scored, "doc_id", "logprob", "pred_lang")
-    return b.withColumn(
-        "keep", F.col("bucket") != F.lit("tail")
-    ).orderBy("doc_id")
+    return _sorted_out(
+        b.withColumn("keep", F.col("bucket") != F.lit("tail")), "doc_id"
+    )
 
 
 def _ccnet_pipeline_sql() -> str:
@@ -3081,10 +3162,11 @@ def q_c4_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(did % 7 == 0, F.lit("code { block")),
         F.when(did % 11 == 0, F.lit("Lorem Ipsum filler here.")),
     )
-    pg = _t(spark, sf_dir, "documents").select(did.alias("doc_id"),
-                                               page.alias("t"))
+    pg = _par(
+        _t(spark, sf_dir, "documents").select(did.alias("doc_id"), "text")
+    ).select("doc_id", page.alias("t"))
     d2 = pg.select("doc_id", c4_metrics(F.col("t")).alias("m"))
-    return d2.select(
+    out = d2.select(
         "doc_id",
         F.col("m.n_lines_kept").alias("n_lines_kept"),
         F.col("m.n_lines_dropped").alias("n_lines_dropped"),
@@ -3093,7 +3175,8 @@ def q_c4_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.has_lorem").alias("has_lorem"),
         c4_pass(F.col("m")).alias("keep"),
         F.md5(F.col("m.clean_text")).alias("clean_hash"),
-    ).orderBy("doc_id")
+    )
+    return _sorted_out(out, "doc_id")
 
 
 _C4_CLEAN_SQL = r"""

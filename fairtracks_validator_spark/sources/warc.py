@@ -173,7 +173,23 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     errors land in the ``error`` column."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    loaded = spark.read.format("binaryFile").load(path)
+    # binaryFile packs small archives together (maxPartitionBytes +
+    # openCostInBytes), which serializes the parse: a 32-archive test
+    # fixture lands in ~2 scan partitions. When the whole input is small,
+    # rebalance one archive per task — a few MB of shuffle buys full-width
+    # parse parallelism. Scale-adaptive (guide §2.5 input skew): listing
+    # metadata only (no content read) decides, and big crawls (total over
+    # ~1 GiB — already enough native splits) keep the no-shuffle path.
+    meta = loaded.select("path", "length").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("length").alias("bytes")
+    ).first()
+    files = loaded.select("path", "content")
+    n_files = int(meta["n"] or 0)
+    total = int(meta["bytes"] or 0)
+    par = spark.sparkContext.defaultParallelism
+    if 0 < n_files and total <= 1 << 30 and n_files > 1:
+        files = files.repartition(min(n_files, par))
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = ["warc_file", "record_offset", "url", "warc_ts",
