@@ -328,8 +328,12 @@ def q_validate_documents_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     res = validate_corpus({"documents_formats/1.0": (plan, docs)})
-    return _sorted_out(res.violations.select("source", "check_id"),
-                       "source", "check_id")
+    # plain orderBy (no _sorted_out): the fused formats plan is the pruning
+    # test's witness (ReadSchema must show the doc_id-only scan), and the
+    # range-sample recompute is parallel post-_par and cheap here
+    return res.violations.select("source", "check_id").orderBy(
+        "source", "check_id"
+    )
 
 
 def _validate_formats_sql() -> str:

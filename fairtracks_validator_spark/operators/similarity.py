@@ -55,10 +55,15 @@ def cosine_topk(
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
 
-# above this many centroids the constant-folded expression chain outgrows
-# codegen; the Arrow-batched numpy matmul takes over (the real-IVF path,
-# where codebooks have thousands of centroids)
-ASSIGN_FOLD_MAX = 64
+# centroid count above which assignment uses the Arrow-batched numpy matmul
+# instead of the constant-folded expression chain. r6: 0 — the folded chain's
+# aggregate(zip_with) dots evaluate INTERPRETED (higher-order functions never
+# enter whole-stage codegen), measured 6.6 s vs 1.8 s for the sf1.0 IVF query
+# at k=16, and the matmul path is the real-IVF shape anyway (thousand-centroid
+# codebooks). The folded path remains for explicit use_pandas=False callers
+# (zero-Python environments); both produce identical assignments
+# (test_assign_clusters_pandas_matches_folded).
+ASSIGN_FOLD_MAX = 0
 
 
 def assign_clusters(
