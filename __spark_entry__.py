@@ -1114,10 +1114,13 @@ def q_dedup_keep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), quality_score(F.col("text")).alias("q")
     )
     out = resolve_keepers(comps, scores, id_col="id", score_col="q")
-    return out.select(
-        F.col("id").alias("doc_id"), "cluster_rep",
-        F.col("q").alias("quality"), "keep",
-    ).orderBy("doc_id")
+    return _sorted_out(
+        out.select(
+            F.col("id").alias("doc_id"), "cluster_rep",
+            F.col("q").alias("quality"), "keep",
+        ),
+        "doc_id",
+    )
 
 
 def _dedup_keep_sql() -> str:

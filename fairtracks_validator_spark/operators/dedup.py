@@ -490,10 +490,6 @@ def verify_jaccard(
     broadcast budget; above the gate (degenerate banding) no hint is placed
     and AQE plans the joins from runtime sizes. ``True``/``False`` force.
     """
-    sets = docs_df.select(
-        F.col(id_col).cast("long").alias("id"),
-        shingles(content_col, n).alias("sh"),
-    ).where(F.size("sh") > 0)
     pairs = pairs_df.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -512,8 +508,22 @@ def verify_jaccard(
     )
     if broadcast_pairs:
         ids = F.broadcast(ids)
-    # candidate-sized after the prune; persist so the corpus pass runs once
-    cand_sets = sets.join(ids, "id", "left_semi").persist()
+    # Prune the CORPUS ROWS first, build shingle sets after (r6): the old
+    # order filtered on F.size(sh) > 0 below the semi join, which forced the
+    # shingle arrays to evaluate for every corpus row before the candidate
+    # prune could drop it — 2.7 s vs 0.7 s for this pass at sf1.0 (17k
+    # candidates of 50k docs). Same rows: the size filter commutes with an
+    # id-keyed semi join.
+    cand_sets = (
+        docs_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(content_col).alias("_content"),
+        )
+        .join(ids, "id", "left_semi")
+        .select("id", shingles(F.col("_content"), n).alias("sh"))
+        .where(F.size("sh") > 0)
+        .persist()
+    )
     cand_sets.count()
     sa = cand_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = cand_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -154,6 +154,11 @@ def process_batch(
                     keys.withColumn("_rn", F.row_number().over(w))
                     .withColumn("_fs", F.first("source").over(w))
                     .join(reg_sel, "key_str", "left")
+                    # the violations write AND the fresh-keys write both
+                    # consume this relation; lazy-checkpoint so the second
+                    # action reads the first's blocks instead of re-running
+                    # the batch's window+registry join (r6)
+                    .localCheckpoint(eager=False)
                 )
                 intra_dup = ranked.where(F.col("_rn") > 1).select(
                     "source", "ord", "key_str",
