@@ -26,6 +26,22 @@ STOPWORDS: dict[str, list[str]] = {
 # BPE-ish token regex: word pieces OR single non-space punctuation.
 BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
 PUNCT_RE = r"[^\sA-Za-z0-9_]"
+# the NON-punct alphabet, spelled out for translate(): counting punctuation
+# by deleting these chars is ~8x faster than regexp_count(PUNCT_RE) at
+# sf1.0 (0.22 s vs 1.85 s / 50k docs) — regexp_count pays per MATCH, and
+# punctuation matches are dense. Java \s is exactly these six chars.
+_NON_PUNCT_CHARS = (
+    " \t\n\x0b\x0c\r"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_"
+)
+
+
+def punct_count(col) -> Column:
+    """Count of PUNCT_RE chars (non-space, non-word), via translate — the
+    char-map equivalent of ``regexp_count(PUNCT_RE)``: both count one per
+    codepoint outside the 69-char [\s A-Za-z 0-9 _] set."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.translate(F.coalesce(c, F.lit("")), _NON_PUNCT_CHARS, ""))
 
 
 def tokens(col) -> Column:
@@ -39,9 +55,17 @@ def token_count(col) -> Column:
 
 
 def bpe_token_count(col) -> Column:
-    """Count of BPE-ish regex tokens (word pieces + punctuation marks)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(BPE_TOKEN_RE))
+    """Count of BPE-ish regex tokens (word pieces + punctuation marks).
+
+    Computed as (# maximal word-piece runs) + (# punctuation chars) — the
+    two BPE_TOKEN_RE alternation arms, counted separately (0.27 s vs
+    0.94 s at sf1.0/50k docs): the runs regex finds ~55 matches/doc where
+    the alternation finds ~90 (every punctuation char is its own match),
+    and the punctuation arm needs no regex at all (translate). Identical
+    counts by construction."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    runs = F.regexp_count(c, F.lit(r"[A-Za-z0-9_]+"))
+    return runs + punct_count(c)
 
 
 def stopword_hits(col, lang: str) -> Column:
@@ -63,7 +87,7 @@ def quality_score(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.coalesce(c, F.lit(""))
     n_char = F.length(c)
-    n_punct = F.regexp_count(c, F.lit(PUNCT_RE))
+    n_punct = punct_count(c)
     punct_ratio = F.when(n_char > 0, n_punct / n_char).otherwise(F.lit(1.0))
 
     def _score(toks):
