@@ -993,12 +993,20 @@ def check_entries(
     checks: list[Check], join_flags: dict[str, str] | None = None
 ) -> list[Column]:
     """(check_id, ok, message) structs for every check — the raw material of
-    both apply_checks and the fused single-scan runner path."""
+    both apply_checks and the fused single-scan runner path.
+
+    ``message`` is gated on ¬ok (r6): passing entries never format their
+    violation string — consumers only read messages of failing entries, and
+    ungated messages both cost per-row format_string work and ride every
+    shuffle of the entry array."""
     out = [
         F.struct(
             F.lit(c.check_id).alias("check_id"),
             F.coalesce(c.ok, F.lit(False)).alias("ok"),
-            F.coalesce(c.message, F.lit("")).alias("message"),
+            F.when(
+                ~F.coalesce(c.ok, F.lit(False)),
+                F.coalesce(c.message, F.lit("")),
+            ).alias("message"),
         )
         for c in checks
     ]
@@ -1040,18 +1048,14 @@ def apply_checks(
         work = jc.apply(work, flag)
         flag_cols[jc.check_id] = flag
 
-    entries = [
-        F.struct(
-            F.lit(c.check_id).alias("check_id"),
-            F.coalesce(c.ok, F.lit(False)).alias("ok"),
-            F.coalesce(c.message, F.lit("")).alias("message"),
-        )
-        for c in checks
-    ] + [
+    entries = check_entries(checks) + [
         F.struct(
             F.lit(jc.check_id).alias("check_id"),
             F.coalesce(F.col(flag_cols[jc.check_id]), F.lit(True)).alias("ok"),
-            F.coalesce(jc.message, F.lit("")).alias("message"),
+            F.when(
+                ~F.coalesce(F.col(flag_cols[jc.check_id]), F.lit(True)),
+                F.coalesce(jc.message, F.lit("")),
+            ).alias("message"),
         )
         for jc in join_checks
     ]
@@ -1066,14 +1070,20 @@ def apply_checks(
     # array with its format_string messages is only built for failing rows —
     # at web scale that is ~1% of the corpus instead of 100%.
     all_ok = checks_pass_predicate(checks, [flag_cols[jc.check_id] for jc in join_checks])
-    failed = F.filter(F.array(*entries), lambda e: ~e.getField("ok"))
+    # explode the UNFILTERED entry array and drop passing entries AFTER the
+    # Generate (r6): F.filter is a CodegenFallback higher-order function, so
+    # wrapping the array in it forced the whole entry subtree — every check
+    # expression and message format — to re-evaluate INTERPRETED per failing
+    # row. Explode is codegen'd; the post-explode ¬ok predicate is a cheap
+    # column test on materialized structs. Same rows in the same order.
     return (
         work.where(~all_ok)
         .select(
             F.col(source_col).alias("source"),
             F.col(ord_col).cast("long").alias("ord"),
-            F.explode(failed).alias("_f"),
+            F.explode(F.array(*entries)).alias("_f"),
         )
+        .where(~F.col("_f.ok"))
         .select(
             "source",
             "ord",
