@@ -37,7 +37,7 @@ _NON_PUNCT_CHARS = (
 
 
 def punct_count(col) -> Column:
-    """Count of PUNCT_RE chars (non-space, non-word), via translate — the
+    r"""Count of PUNCT_RE chars (non-space, non-word), via translate — the
     char-map equivalent of ``regexp_count(PUNCT_RE)``: both count one per
     codepoint outside the 69-char [\s A-Za-z 0-9 _] set."""
     c = F.col(col) if isinstance(col, str) else col

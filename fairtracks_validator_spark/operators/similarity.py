@@ -115,12 +115,37 @@ def _assign_clusters_pandas(
     cmat = np.asarray([c for _, c in cent], dtype=np.float64)
     cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
 
+    d = cmat.shape[1]
+
+    def _score(mat):
+        v = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                             1e-300)
+        return cids[np.argmax(v @ cmat.T, axis=1)]
+
     # no type hints: the local pd import can't resolve string annotations,
     # so the udf type is declared via the returnType argument instead
     def _nearest(vecs):
-        v = np.asarray(vecs.tolist(), dtype=np.float64)
-        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
-        return pd.Series(cids[np.argmax(v @ cmat.T, axis=1)].astype("int32"))
+        arr = vecs.tolist()
+        n = len(arr)
+        lens = np.fromiter(
+            (len(a) if a is not None else -1 for a in arr), np.int64, n
+        )
+        ok = lens == d
+        if ok.all():
+            return pd.Series(
+                _score(np.asarray(arr, dtype=np.float64)).astype("int32")
+            )
+        # null / wrong-dimension vectors: the folded expression path scores
+        # them null on every centroid (zip_with pads with null), and the
+        # struct tie-break then lands on the SMALLEST centroid id — mirror
+        # that here instead of crashing the matmul on a ragged array
+        out = np.full(n, cids[0] if len(cids) else 0, dtype=np.int64)
+        if ok.any():
+            sub = np.asarray(
+                [a for a, o in zip(arr, ok) if o], dtype=np.float64
+            )
+            out[ok] = _score(sub)
+        return pd.Series(out.astype("int32"))
 
     nearest = pandas_udf(_nearest, "int")
 
