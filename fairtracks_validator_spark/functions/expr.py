@@ -21,6 +21,35 @@ def let_(bound_expr: Column, body) -> Column:
     return F.element_at(F.transform(F.array(bound_expr), body), 1)
 
 
+def unpushable(cond: Column) -> Column:
+    """Block predicate pushdown of ``cond`` without changing its value.
+
+    The optimizer pushes filters below repartition exchanges, unions and
+    semi-joins, alias-inlining every computed column the predicate touches
+    (``PushDownPredicates`` → ``replaceAlias``). For a predicate over an
+    expensive derived column — a shingle array, the fused check verdict —
+    that duplicates the whole derivation: once below the exchange, where the
+    scan side may be a single unsplittable parquet row group (ONE task), and
+    again above it. Measured on the 50k-doc corpus: the pushed copy of the
+    shingle filter ran 2 s single-threaded before the 32-way stage even
+    started.
+
+    Wrapping the predicate in a non-deterministic-but-value-preserving
+    guard makes it ineligible for pushdown (non-deterministic predicates
+    are never moved and never split into conjuncts), so it evaluates
+    exactly where written — after the parallelizing exchange, once. The
+    guard is ``shuffle`` of a one-element array: non-deterministic to the
+    optimizer, identity in value, so the filter's VALUE is deterministic
+    under task retry. (A ``rand() >= -1`` guard does NOT survive: the
+    optimizer folds comparisons against constants outside rand's [0,1)
+    range and the unwrapped predicate pushes right back down.)
+
+    Use only on predicates whose inputs are expensive to compute; cheap
+    key-based filters benefit from pushdown and must stay pushable.
+    """
+    return F.element_at(F.shuffle(F.array(cond)), 1)
+
+
 def null_safe_group_key(col: Column) -> Column:
     """Grouping/rejoin surrogate that keeps NULL as a real stratum.
 

@@ -1076,12 +1076,16 @@ def apply_checks(
     # expression and message format — to re-evaluate INTERPRETED per failing
     # row. Explode is codegen'd; the post-explode ¬ok predicate is a cheap
     # column test on materialized structs. Same rows in the same order.
+    # The ¬all_ok row gate lives INSIDE the explode (null array for passing
+    # rows → explode emits nothing): a separate `where(~all_ok)` would
+    # alias-inline the full check predicate and push it below any rebalance
+    # exchange into the (possibly single-task) scan stage, evaluating every
+    # check twice.
     return (
-        work.where(~all_ok)
-        .select(
+        work.select(
             F.col(source_col).alias("source"),
             F.col(ord_col).cast("long").alias("ord"),
-            F.explode(F.array(*entries)).alias("_f"),
+            F.explode(F.when(~all_ok, F.array(*entries))).alias("_f"),
         )
         .where(~F.col("_f.ok"))
         .select(

@@ -33,6 +33,7 @@ from ..functions.text import shingles
 # shared let-binding (single evaluation of an expensive expression); see
 # functions/expr.py for why Catalyst needs this
 from ..functions.expr import let_ as _let  # noqa: E402
+from ..functions.expr import unpushable  # noqa: E402
 
 
 # --------------------------------------------------------------------- exact
@@ -153,15 +154,18 @@ def minhash_lsh_candidates(
 
     # one md5 pass per shingle, one affine pass per slot, one concat per band
     # — _let prevents CollapseProject from re-inlining each stage k times.
+    # The <shingle_n-token gate lives INSIDE the explode (null band array →
+    # explode drops the row): a separate `where` on the token count would
+    # alias-inline a second tokenize AND push it below the caller's
+    # rebalance exchange into the (possibly single-task) scan stage. Gate
+    # equivalence: size(shingle_hashes) > 0 ⟺ token count ≥ shingle_n.
     bands_expr = _let(
         shingle_hashes(content_col, shingle_n),
-        lambda hx: _let(sig_of(hx), bands_of),
+        lambda hx: F.when(F.size(hx) > 0, _let(sig_of(hx), bands_of)),
     )
-    from ..functions.text import tokens
 
     banded = (
-        df.where(F.size(tokens(content_col)) >= shingle_n)
-        .select(F.col(id_col).cast("long").alias("id"), F.explode(bands_expr).alias("bk"))
+        df.select(F.col(id_col).cast("long").alias("id"), F.explode(bands_expr).alias("bk"))
         .select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     )
 
@@ -410,14 +414,30 @@ def ngram_jaccard_pairs(
     # 30.3 s → ~18 s at sf1.0; the rest is the irreducible ~100M-pair
     # count (the docstring's point stands: at scale this runs only as the
     # verifier behind LSH banding, never standalone).
+    # ONE shingle evaluation per row: the set size and the per-element hash
+    # both ride a single explode of (sz, h) structs built inside a _let.
+    # Written as  select(sh) → where(size>0) → select(size, explode)  the
+    # shingle expression alias-inlines into all three sites AND the filter
+    # copy pushes below the rebalance exchange into the single-task scan
+    # stage; here empty sets simply explode to zero rows (the old filter's
+    # exact effect).
     shh = (
         df.select(
             F.col(id_col).cast("long").alias("id"),
-            shingles(content_col, n).alias("sh"),
+            F.explode(
+                _let(
+                    shingles(content_col, n),
+                    lambda sh: F.transform(
+                        sh,
+                        lambda s: F.struct(
+                            F.size(sh).alias("sz"),
+                            F.xxhash64(s).alias("h"),
+                        ),
+                    ),
+                )
+            ).alias("e"),
         )
-        .where(F.size("sh") > 0)
-        .select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
-        .select("id", "sz", F.xxhash64("shingle").alias("h"))
+        .select("id", F.col("e.sz").alias("sz"), F.col("e.h").alias("h"))
         .persist()
     )
     row = shh.agg(F.min("sz").alias("m")).first()
@@ -501,10 +521,12 @@ def verify_jaccard(
         # ≤2 ids per pair; gate well under the 8 GB broadcast cap assuming
         # ~100 shingles × ~30 B per candidate row (≈6 KB/pair worst case)
         broadcast_pairs = n_pairs <= 1_000_000
-    ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
+    # no .distinct() on the semi-join build side: a left-semi join is
+    # already set-semantics on the probe side, and the distinct added two
+    # 2N-partition micro-task stages (≈1.4 s at sf1.0) to dedupe a relation
+    # the broadcast hash build dedupes anyway
+    ids = pairs.select(F.col("id_a").alias("id")).unionByName(
+        pairs.select(F.col("id_b").alias("id"))
     )
     if broadcast_pairs:
         ids = F.broadcast(ids)
@@ -512,16 +534,26 @@ def verify_jaccard(
     # order filtered on F.size(sh) > 0 below the semi join, which forced the
     # shingle arrays to evaluate for every corpus row before the candidate
     # prune could drop it — 2.7 s vs 0.7 s for this pass at sf1.0 (17k
-    # candidates of 50k docs). Same rows: the size filter commutes with an
-    # id-keyed semi join.
+    # candidates of 50k docs). The empty-set gate lives INSIDE the explode
+    # (null wrapper array → explode drops the row): a separate `where`
+    # alias-inlines a second shingle evaluation and pushes it below the
+    # semi join and the rebalance exchange, into the (possibly single-task)
+    # scan stage. Same rows; one shingle evaluation per candidate row.
     cand_sets = (
         docs_df.select(
             F.col(id_col).cast("long").alias("id"),
             F.col(content_col).alias("_content"),
         )
         .join(ids, "id", "left_semi")
-        .select("id", shingles(F.col("_content"), n).alias("sh"))
-        .where(F.size("sh") > 0)
+        .select(
+            "id",
+            F.explode(
+                _let(
+                    shingles(F.col("_content"), n),
+                    lambda sh: F.when(F.size(sh) > 0, F.array(sh)),
+                )
+            ).alias("sh"),
+        )
         .persist()
     )
     cand_sets.count()

@@ -957,7 +957,13 @@ def _dup_candidate_firsts(
 
 
 def _explode_fails(narrow: DataFrame, schema_id: str) -> DataFrame:
-    return narrow.where(~F.col("_ok")).select(
+    # No ~_ok row filter (r6): _fails is NULL for passing rows (it is gated
+    # on ¬all_ok at construction) and explode of a null array emits zero
+    # rows — the filter was redundant, and written out it alias-inlined the
+    # full check predicate and pushed it below the caller's rebalance
+    # exchange (every check ran in the scan stage — one task on
+    # single-row-group input — and AGAIN above it).
+    return narrow.select(
         "source", "ord",
         F.explode("_fails").alias("_f"),
     ).where(~F.col("_f.ok")).select(
