@@ -228,3 +228,36 @@ def test_ks_per_group_pandas(spark):
     assert got["en"]["n_a"] == 300 and got["en"]["n_b"] == 300
     assert got["en"]["ks_stat"] < 0.15      # same distribution
     assert got["de"]["ks_stat"] > 0.3       # shifted distribution
+
+
+def test_ranked_quantiles_bit_identical_to_percentile(spark):
+    """_ranked_quantiles (the parallel exact-quantile path behind
+    quantile_profile) must reproduce F.percentile's interpolated doubles
+    BIT for bit — duplicates, nulls, negatives, empty and 1-row inputs."""
+    import struct
+
+    import pyspark.sql.functions as F
+
+    from fairtracks_validator_spark.operators.stats import _ranked_quantiles
+
+    fracs = [0.0, 0.25, 0.2498, 0.333333, 0.5, 0.75, 0.9, 1.0]
+    cases = {
+        "dups": spark.range(5000).select((F.col("id") % 7).cast("double").alias("x")),
+        "negatives": spark.range(999).select((F.col("id") * -1.37 + 3).alias("x")),
+        "nulls": spark.range(5000).select(
+            F.when(F.col("id") % 3 == 0, F.col("id").cast("double")).alias("x")
+        ),
+        "single": spark.range(1).select(F.lit(42.5).alias("x")),
+        "empty": spark.range(0).select(F.col("id").cast("double").alias("x")),
+    }
+
+    def bits(v):
+        return None if v is None else struct.pack("<d", v)
+
+    for name, df in cases.items():
+        ref = df.agg(F.percentile(F.col("x"), fracs).alias("p")).collect()[0]["p"]
+        got = _ranked_quantiles(df, F.col("x"), fracs, "p").collect()[0]["p"]
+        if ref is None:
+            assert got is None or all(v is None for v in got), name
+            continue
+        assert [bits(a) for a in ref] == [bits(b) for b in got], name
