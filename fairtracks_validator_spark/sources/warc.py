@@ -69,8 +69,24 @@ def _parse_warc_buffer(buf: bytes):
         if not buf.startswith(b"WARC/", pos):
             yield start, None, "missing WARC/ version line"
             return  # cannot resync without a record length
-        hdr_end = buf.find(b"\r\n\r\n", pos)
-        alt_end = buf.find(b"\n\n", pos)
+        # bound the separator search to a header-sized window: an UNbounded
+        # find for the terminator the file does NOT use (\n\n in a CRLF
+        # archive, \r\n\r\n in an LF one) scans to the END OF THE BUFFER on
+        # every record — O(records x archive_bytes), 94% of parse time on a
+        # 1.5k-record archive. Headers are tiny; the pathological >64 KiB
+        # header falls back to the original unbounded search, so selection
+        # semantics are unchanged.
+        win = pos + 65536
+        hdr_end = buf.find(b"\r\n\r\n", pos, win)
+        alt_end = buf.find(b"\n\n", pos, win)
+        found = [x for x in (hdr_end, alt_end) if x != -1]
+        # redo unbounded when nothing was found in the window OR the best
+        # in-window hit sits close enough to the boundary that the OTHER
+        # separator could straddle it unseen — keeps selection identical
+        # to the unbounded searches in every case
+        if win < n and (not found or min(found) >= win - 4):
+            hdr_end = buf.find(b"\r\n\r\n", pos)
+            alt_end = buf.find(b"\n\n", pos)
         if hdr_end == -1 or (alt_end != -1 and alt_end < hdr_end):
             hdr_end, sep = alt_end, 2
         else:
