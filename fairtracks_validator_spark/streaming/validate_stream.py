@@ -87,29 +87,95 @@ def process_batch(
     # typed null ⇒ "property absent" semantics instead of UNRESOLVED_COLUMN)
     batch_df = align_to_plan(batch_df, plan)
 
-    schema_viol = apply_checks(
-        batch_df, plan.checks, plan.join_checks, plan.schema_id, source_col, ord_col
+    # Fast path (r6) for the flat-key, no-join-check shape (the web-scale
+    # pages regime): the violations write and the key-registry write are
+    # separate ACTIONS, and written independently each re-scans the batch
+    # and re-evaluates every check. Compute ONE narrow relation per batch —
+    # (source, ord, all-ok verdict, gated fail entries, per-unique key) —
+    # lazily checkpointed so whichever action runs first materializes it
+    # and the other reads its blocks. Join checks / fan-out keys keep the
+    # general path below.
+    from ..functions.keys import flat_key_string, has_array_fanout
+
+    _fast = (
+        not plan.join_checks
+        and plan.uniques
+        and all(not has_array_fanout(uq.members) for uq in plan.uniques)
     )
+    if _fast:
+        from ..operators.checks import check_entries
+
+        all_ok = checks_pass_predicate(plan.checks)
+        entries = check_entries(plan.checks)
+        _entry_ddl = "array<struct<check_id:string,ok:boolean,message:string>>"
+        fails = (
+            F.when(~all_ok, F.array(*entries))
+            if entries
+            else F.lit(None).cast(_entry_ddl)
+        )
+        narrow = batch_df.select(
+            F.col(source_col).alias("source"),
+            F.col(ord_col).cast("long").alias("ord"),
+            all_ok.alias("_ok"),
+            fails.alias("_fails"),
+            *[
+                flat_key_string(uq.members).alias(f"_key_{i}")
+                for i, uq in enumerate(plan.uniques)
+            ],
+        ).localCheckpoint(eager=False)
+        schema_viol = (
+            narrow.select("source", "ord", F.explode("_fails").alias("_f"))
+            .where(~F.col("_f.ok"))
+            .select(
+                "source",
+                "ord",
+                F.lit(plan.schema_id).alias("schema_id"),
+                F.col("_f.check_id").alias("check_id"),
+                F.lit(None).cast("string").alias("key_str"),
+                F.lit("schema").alias("reason"),
+                F.col("_f.message").alias("description"),
+            )
+        )
+    else:
+        schema_viol = apply_checks(
+            batch_df, plan.checks, plan.join_checks, plan.schema_id,
+            source_col, ord_col,
+        )
     violations = [schema_viol]
     new_keys_parts = []
     registry = None  # unpersisted after the batch's writes commit
 
     if plan.uniques:
-        survivors = (
-            batch_df.where(checks_pass_predicate(plan.checks))
-            if not plan.join_checks
-            else batch_df.join(
-                schema_viol.select(
-                    F.col("source").alias(source_col), F.col("ord").alias(ord_col)
-                ).distinct(),
-                [source_col, ord_col],
-                "left_anti",
+        survivors = None
+        if not _fast:
+            survivors = (
+                batch_df.where(checks_pass_predicate(plan.checks))
+                if not plan.join_checks
+                else batch_df.join(
+                    schema_viol.select(
+                        F.col("source").alias(source_col),
+                        F.col("ord").alias(ord_col),
+                    ).distinct(),
+                    [source_col, ord_col],
+                    "left_anti",
+                )
             )
-        )
         registry = _load_registry(spark, out_dir, batch_id).cache()
         batch_caches: list = []
-        for uq in plan.uniques:
-            keys = _doc_keys(survivors, uq.check_id, uq.members, source_col, ord_col)
+        for _uq_i, uq in enumerate(plan.uniques):
+            if _fast:
+                keys = (
+                    narrow.where(F.col("_ok"))
+                    .select(
+                        "source", "ord",
+                        F.col(f"_key_{_uq_i}").alias("key_str"),
+                    )
+                    .where(F.col("key_str").isNotNull())
+                )
+            else:
+                keys = _doc_keys(
+                    survivors, uq.check_id, uq.members, source_col, ord_col
+                )
             reg = registry.where(F.col("check_id") == uq.check_id)
             reg_sel = reg.select("key_str", F.col("first_source").alias("_reg_fs"))
 
