@@ -962,10 +962,16 @@ def _explode_fails(narrow: DataFrame, schema_id: str) -> DataFrame:
     # rows — the filter was redundant, and written out it alias-inlined the
     # full check predicate and pushed it below the caller's rebalance
     # exchange (every check ran in the scan stage — one task on
-    # single-row-group input — and AGAIN above it).
+    # single-row-group input — and AGAIN above it). The let_ identity wrap
+    # matters: InferFiltersFromGenerate re-derives exactly that pushable
+    # size(_fails) > 0 filter when the explode input is a bare ATTRIBUTE,
+    # and only then — a non-attribute generator input is excluded by the
+    # rule ("we may evaluate expensive input expressions multiple times").
+    from .functions.expr import let_
+
     return narrow.select(
         "source", "ord",
-        F.explode("_fails").alias("_f"),
+        F.explode(let_(F.col("_fails"), lambda x: x)).alias("_f"),
     ).where(~F.col("_f.ok")).select(
         "source", "ord",
         F.lit(schema_id).alias("schema_id"),

@@ -123,8 +123,16 @@ def process_batch(
                 for i, uq in enumerate(plan.uniques)
             ],
         ).localCheckpoint(eager=False)
+        from ..functions.expr import let_
+
         schema_viol = (
-            narrow.select("source", "ord", F.explode("_fails").alias("_f"))
+            # let_ identity: a bare-attribute explode would let
+            # InferFiltersFromGenerate re-derive a pushable size(_fails)>0
+            # filter that alias-inlines every check below the scan
+            narrow.select(
+                "source", "ord",
+                F.explode(let_(F.col("_fails"), lambda x: x)).alias("_f"),
+            )
             .where(~F.col("_f.ok"))
             .select(
                 "source",

@@ -140,18 +140,24 @@ def test_formats_query_prunes_to_one_column(spark):
     assert "EvalPython" not in txt
 
 
-def test_quantile_profile_single_aggregate(spark):
-    """quantile_profile computes every (column, q) pair in ONE aggregation:
-    a single scan, no join, no repeated exchange per quantile."""
+def test_quantile_profile_bounded_scans(spark):
+    """quantile_profile scans the input a BOUNDED number of times — one
+    shared pass for all approx sketches plus one count-by-value pass per
+    column (the r6 ranked-quantile shape; exact values bit-checked by
+    test_ranked_quantiles_bit_identical_to_percentile) — never once per
+    quantile fraction (12 fractions/column here), and the only joins are
+    cross joins of single-row aggregates."""
     from fairtracks_validator_spark.operators.stats import quantile_profile
 
+    cols = ["o_totalprice", "o_custkey"]
     df = quantile_profile(
-        spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
-        ["o_totalprice", "o_custkey"],
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet"), cols
     )
     txt = _plan_str(df)
-    assert txt.count("Scan parquet") == 1
-    assert "Join" not in txt
+    assert txt.count("Scan parquet") == 1 + len(cols)
+    # no value-dependent join strategy: combining 1-row aggregates plans as
+    # broadcast nested-loop cross joins only
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
 
 
 def test_repetition_and_gopher_zero_shuffle(spark):
